@@ -1,0 +1,89 @@
+"""Image CNN for LI-Fusion.
+
+TPU rewrite of /root/reference/jmodt/detection/modeling/backbone.py:9-89
+(BasicBlock stack, DeConv pyramid, grid-sample feature gather).  Layout is
+NHWC (TPU-native); the reference's NCHW permutes away.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BasicBlock(nn.Module):
+    """conv3x3(s=1) -> BN -> ReLU -> conv3x3(s=2), no bias (reference
+    BasicBlock, backbone.py:15-30; each block halves H, W)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (3, 3), strides=(1, 1), padding=1,
+                    use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (3, 3), strides=(2, 2), padding=1,
+                    use_bias=False)(x)
+        return x
+
+
+def feature_gather(feature_map: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling of image features at projected point locations —
+    `F.grid_sample(..., align_corners=True)` (reference feature_gather,
+    backbone.py:79-89) as explicit gathers.
+
+    :param feature_map: (B, H, W, C)
+    :param xy: (B, N, 2) in [-1, 1] normalized to the *fixed* image size
+        (kitti_dataset.py:253-255)
+    :return: (B, N, C)
+    """
+    b, h, w, c = feature_map.shape
+    # align_corners=True: -1 -> 0, +1 -> size-1
+    u = (xy[..., 0] + 1.0) * 0.5 * (w - 1)
+    v = (xy[..., 1] + 1.0) * 0.5 * (h - 1)
+    u0 = jnp.clip(jnp.floor(u), 0, w - 1)
+    v0 = jnp.clip(jnp.floor(v), 0, h - 1)
+    u1 = jnp.clip(u0 + 1, 0, w - 1)
+    v1 = jnp.clip(v0 + 1, 0, h - 1)
+    au = (u - u0)[..., None]
+    av = (v - v0)[..., None]
+    u0i, u1i = u0.astype(jnp.int32), u1.astype(jnp.int32)
+    v0i, v1i = v0.astype(jnp.int32), v1.astype(jnp.int32)
+
+    flat = feature_map.reshape(b, h * w, c)
+
+    def take(vi, ui):
+        return jnp.take_along_axis(flat, (vi * w + ui)[..., None], axis=1)
+
+    f00 = take(v0i, u0i)
+    f01 = take(v0i, u1i)
+    f10 = take(v1i, u0i)
+    f11 = take(v1i, u1i)
+    top = f00 * (1 - au) + f01 * au
+    bot = f10 * (1 - au) + f11 * au
+    return top * (1 - av) + bot * av
+
+
+class ImagePyramidFusion(nn.Module):
+    """DeConv each level back to full resolution, concat, 1x1 conv + BN + ReLU
+    (reference backbone.py:130-139, 187-196)."""
+    reduce_channels: Sequence[int]
+    kernels: Sequence[int]
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, img_levels, train: bool = False):
+        ups = []
+        for i, feat in enumerate(img_levels):
+            k = self.kernels[i]
+            up = nn.ConvTranspose(self.reduce_channels[i], (k, k),
+                                  strides=(k, k))(feat)
+            ups.append(up)
+        x = jnp.concatenate(ups, axis=-1)
+        x = nn.Conv(self.out_channels, (1, 1))(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5)(x)
+        return nn.relu(x)

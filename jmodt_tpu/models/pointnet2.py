@@ -1,0 +1,118 @@
+"""PointNet++ set-abstraction and feature-propagation modules in flax.
+
+TPU rewrite of /root/reference/jmodt/ops/pointnet2/pointnet2_modules.py.
+Feature layout is (B, N, C) (feature-last) throughout — the grouped-MLP
+becomes a batched Dense over (B*M*S, C) rows, which XLA tiles directly onto
+the MXU; the reference's (B, C, M, S) Conv2d-1x1 layout would force transposes
+on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from jmodt_tpu.models.layers import PointwiseMLP
+from jmodt_tpu.ops.grouping import ball_query, group_points, group_xyz
+from jmodt_tpu.ops.interpolate import three_interpolate, three_nn
+from jmodt_tpu.ops.sampling import farthest_point_sample, gather_xyz
+
+
+class SAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (reference PointnetSAModuleMSG,
+    pointnet2_modules.py:356-390).
+
+    forward: xyz (B, N, 3), features (B, N, C) | None ->
+        new_xyz (B, npoint, 3), new_features (B, npoint, sum(mlps[-1])),
+        idx (B, npoint) FPS indices (consumed by LI-Fusion to gather the
+        image-projection coordinates, backbone.py:169-171).
+    """
+    npoint: Optional[int]
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, features=None, train: bool = False):
+        assert len(self.radii) == len(self.nsamples) == len(self.mlps)
+        if self.npoint is not None:
+            idx = farthest_point_sample(xyz, self.npoint)
+            new_xyz = gather_xyz(xyz, idx)
+        else:
+            idx = None
+            new_xyz = None
+
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
+            if self.npoint is not None:
+                nbr = ball_query(radius, nsample, xyz, new_xyz)  # (B, M, S)
+                grouped_xyz = group_xyz(xyz, nbr) - new_xyz[:, :, None, :]
+                if features is not None:
+                    feats_cf = jnp.transpose(features, (0, 2, 1))  # (B, C, N)
+                    grouped = group_points(feats_cf, nbr)          # (B, C, M, S)
+                    grouped = jnp.transpose(grouped, (0, 2, 3, 1))  # (B, M, S, C)
+                    g = (jnp.concatenate([grouped_xyz, grouped], axis=-1)
+                         if self.use_xyz else grouped)
+                else:
+                    assert self.use_xyz
+                    g = grouped_xyz
+            else:
+                # GroupAll (pointnet2_utils.py::GroupAll): one group of all pts
+                grouped_xyz = xyz[:, None, :, :]  # (B, 1, N, 3)
+                if features is not None:
+                    g = (jnp.concatenate([grouped_xyz, features[:, None]], axis=-1)
+                         if self.use_xyz else features[:, None])
+                else:
+                    g = grouped_xyz
+            g = PointwiseMLP(tuple(mlp), use_bn=self.use_bn,
+                             name=f'mlp_{i}')(g, train=train)
+            outs.append(jnp.max(g, axis=2))  # max-pool over the sample dim
+        return new_xyz, jnp.concatenate(outs, axis=-1), idx
+
+
+class SAModule(SAModuleMSG):
+    """Single-scale wrapper (reference PointnetSAModule,
+    pointnet2_modules.py:393-411). Construct via `make_sa_module`."""
+
+
+def make_sa_module(mlp, npoint=None, radius=None, nsample=None,
+                   use_xyz=True, use_bn=True, name=None):
+    return SAModuleMSG(npoint=npoint, radii=(radius,), nsamples=(nsample,),
+                       mlps=(tuple(mlp),), use_xyz=use_xyz, use_bn=use_bn,
+                       name=name)
+
+
+class FPModule(nn.Module):
+    """Feature propagation (reference PointnetFPModule,
+    pointnet2_modules.py:414-453): inverse-distance-weighted 3-NN
+    interpolation + skip concat + shared MLP."""
+    mlp: Sequence[int]
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, unknown, known, unknown_feats, known_feats,
+                 train: bool = False):
+        """unknown (B, n, 3); known (B, m, 3) | None;
+        unknown_feats (B, n, C1) | None; known_feats (B, m, C2) ->
+        (B, n, mlp[-1])."""
+        if known is not None:
+            dist, idx = three_nn(unknown, known)
+            recip = 1.0 / (dist + 1e-8)
+            weight = recip / jnp.sum(recip, axis=2, keepdims=True)
+            feats_cf = jnp.transpose(known_feats, (0, 2, 1))
+            interp = three_interpolate(feats_cf, idx, weight)  # (B, C2, n)
+            interp = jnp.transpose(interp, (0, 2, 1))
+        else:
+            interp = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1],
+                              known_feats.shape[2]))
+        if unknown_feats is not None:
+            new = jnp.concatenate([interp, unknown_feats], axis=-1)
+        else:
+            new = interp
+        return PointwiseMLP(tuple(self.mlp), use_bn=self.use_bn)(new, train=train)

@@ -1,0 +1,124 @@
+"""Ball query and neighborhood grouping.
+
+TPU rewrite of /root/reference/jmodt/ops/pointnet2/src/ball_query_gpu.cu and
+group_points_gpu.cu.
+
+The CUDA ball query walks points 0..N-1 per centroid and records the *first*
+`nsample` indices within `radius`, pre-filling the whole row with the first hit
+(ball_query_gpu.cu:34-43: `if (cnt == 0) fill all with k`).  We reproduce that
+exactly with a top-k trick: key = index where in-radius else N; the `nsample`
+smallest keys are the first-k hits in index order, and misses (key == N) are
+replaced by the row's first hit.  Ordering matters downstream only through
+grouped max-pool ties, but we keep it bit-faithful anyway.
+
+Memory note: the naive (M, N) distance matrix at the first SA level is
+4096 x 16384 x 4 B ≈ 268 MB per (batch row, radius).  `chunk` bounds peak HBM
+by processing centroid blocks through `lax.map`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=('nsample', 'chunk'))
+def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
+               new_xyz: jnp.ndarray, chunk: int = 1024) -> jnp.ndarray:
+    """First-`nsample` neighbors within `radius` (strict `d2 < radius^2`,
+    ball_query_gpu.cu:379).
+
+    :param xyz: (B, N, 3) all points
+    :param new_xyz: (B, M, 3) query centroids
+    :return: (B, M, nsample) int32 indices into N
+    """
+    n = xyz.shape[1]
+    m = new_xyz.shape[1]
+    r2 = radius * radius
+    chunk = min(chunk, m)
+    # pad M to a multiple of chunk so lax.map sees uniform blocks
+    pad = (-m) % chunk
+    new_xyz_p = jnp.pad(new_xyz, ((0, 0), (0, pad), (0, 0)))
+
+    def per_batch(args):
+        pts, queries = args  # (N, 3), (Mp, 3)
+
+        def per_block(q_block):  # (chunk, 3)
+            d2 = jnp.sum((q_block[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+            in_rad = d2 < r2
+            key = jnp.where(in_rad, jnp.arange(n, dtype=jnp.int32)[None, :], n)
+            # nsample smallest keys = first hits in point order
+            neg_top, _ = jax.lax.top_k(-key, nsample)
+            idx = -neg_top  # ascending
+            first = idx[:, 0:1]
+            miss = idx >= n
+            # pad misses with the first hit; all-miss rows fall back to 0
+            # (the CUDA kernel leaves uninitialized memory there — callers
+            # guarantee at least one hit because centroids come from xyz)
+            fallback = jnp.where(first >= n, 0, first)
+            return jnp.where(miss, fallback, idx).astype(jnp.int32)
+
+        blocks = queries.reshape(-1, chunk, 3)
+        return jax.lax.map(per_block, blocks).reshape(-1, nsample)
+
+    out = jax.lax.map(per_batch, (xyz, new_xyz_p))
+    return out[:, :m]
+
+
+def group_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """out[b, c, m, s] = features[b, c, idx[b, m, s]] (reference
+    group_points_gpu.cu forward; grad = scatter-add via autodiff).
+
+    :param features: (B, C, N)
+    :param idx: (B, M, S) int
+    :return: (B, C, M, S)
+    """
+    b, c, n = features.shape
+    _, m, s = idx.shape
+    flat = jnp.take_along_axis(features, idx.reshape(b, 1, m * s), axis=2)
+    return flat.reshape(b, c, m, s)
+
+
+def group_xyz(xyz: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Point-layout grouping: xyz (B, N, 3), idx (B, M, S) -> (B, M, S, 3)."""
+    b, n, _ = xyz.shape
+    _, m, s = idx.shape
+    flat = jnp.take_along_axis(xyz, idx.reshape(b, m * s, 1), axis=1)
+    return flat.reshape(b, m, s, 3)
+
+
+def query_and_group(radius: float, nsample: int, xyz: jnp.ndarray,
+                    new_xyz: jnp.ndarray, features: jnp.ndarray | None,
+                    use_xyz: bool = True) -> jnp.ndarray:
+    """Ball query + grouping + centroid-relative xyz, the fused QueryAndGroup
+    module (reference pointnet2_utils.py::QueryAndGroup).
+
+    :param xyz: (B, N, 3); :param new_xyz: (B, M, 3)
+    :param features: (B, C, N) or None
+    :return: (B, C', M, nsample) with C' = 3 + C if use_xyz else C
+    """
+    idx = ball_query(radius, nsample, xyz, new_xyz)
+    grouped_xyz = group_xyz(xyz, idx) - new_xyz[:, :, None, :]  # (B, M, S, 3)
+    grouped_xyz = jnp.transpose(grouped_xyz, (0, 3, 1, 2))      # (B, 3, M, S)
+    if features is None:
+        assert use_xyz
+        return grouped_xyz
+    grouped = group_points(features, idx)  # (B, C, M, S)
+    if use_xyz:
+        return jnp.concatenate([grouped_xyz, grouped], axis=1)
+    return grouped
+
+
+def group_all(xyz: jnp.ndarray, features: jnp.ndarray | None,
+              use_xyz: bool = True) -> jnp.ndarray:
+    """GroupAll (reference pointnet2_utils.py::GroupAll): the whole cloud as
+    one group. xyz (B, N, 3), features (B, C, N) -> (B, C', 1, N)."""
+    grouped_xyz = jnp.transpose(xyz, (0, 2, 1))[:, :, None, :]  # (B, 3, 1, N)
+    if features is None:
+        return grouped_xyz
+    grouped = features[:, :, None, :]
+    if use_xyz:
+        return jnp.concatenate([grouped_xyz, grouped], axis=1)
+    return grouped

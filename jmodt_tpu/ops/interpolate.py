@@ -1,0 +1,62 @@
+"""Three-nearest-neighbor feature interpolation (feature propagation).
+
+TPU rewrite of /root/reference/jmodt/ops/pointnet2/src/interpolate_gpu.cu:
+  - `three_nn` (lines 9-77): brute-force 3-NN; here pairwise distances +
+    `lax.top_k(k=3)`, chunked over the query dimension to bound HBM
+    (16384 x 4096 at the finest FP level).
+  - `three_interpolate` (lines 78-160): inverse-distance weighted gather; the
+    scatter-add gradient the CUDA backward hand-writes comes from autodiff.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=('chunk',))
+def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048):
+    """3 nearest neighbors of each unknown point among the known points.
+
+    :param unknown: (B, N, 3)
+    :param known: (B, M, 3)
+    :return: (dist (B, N, 3) euclidean distances, idx (B, N, 3) int32),
+        matching the sqrt at pointnet2_utils.py:98.
+    """
+    n = unknown.shape[1]
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    unknown_p = jnp.pad(unknown, ((0, 0), (0, pad), (0, 0)))
+
+    def per_batch(args):
+        u, k = args  # (Np, 3), (M, 3)
+
+        def per_block(u_block):
+            d2 = jnp.sum((u_block[:, None, :] - k[None, :, :]) ** 2, axis=-1)
+            neg, idx = jax.lax.top_k(-d2, 3)
+            return -neg, idx.astype(jnp.int32)
+
+        blocks = u.reshape(-1, chunk, 3)
+        d2, idx = jax.lax.map(per_block, blocks)
+        return d2.reshape(-1, 3), idx.reshape(-1, 3)
+
+    d2, idx = jax.lax.map(per_batch, (unknown_p, known))
+    return jnp.sqrt(d2[:, :n]), idx[:, :n]
+
+
+def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
+                      weight: jnp.ndarray) -> jnp.ndarray:
+    """Weighted 3-point interpolation (interpolate_gpu.cu:78-118).
+
+    :param features: (B, C, M)
+    :param idx: (B, N, 3) int
+    :param weight: (B, N, 3)
+    :return: (B, C, N)
+    """
+    b, c, m = features.shape
+    n = idx.shape[1]
+    gathered = jnp.take_along_axis(features, idx.reshape(b, 1, n * 3), axis=2)
+    gathered = gathered.reshape(b, c, n, 3)
+    return jnp.sum(gathered * weight[:, None, :, :], axis=-1)
