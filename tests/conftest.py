@@ -4,11 +4,19 @@ analog of testing multi-node code without a cluster (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force CPU for the suite.  The ambient environment sets JAX_PLATFORMS=axon
+# (remote TPU with a remote compile service, where eager dispatch is
+# pathologically slow) and its sitecustomize imports jax at interpreter
+# startup, so env-var overrides are too late — but backends initialize
+# lazily, so flipping the config knob here still works.
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
