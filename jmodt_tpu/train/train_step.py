@@ -1,0 +1,301 @@
+"""Loss composition and the jitted train step.
+
+TPU rewrite of /root/reference/jmodt/detection/modeling/train_functions.py
+(model_joint_fn_decorator) and the optimizer setup in
+/root/reference/tools/train.py:96-119.
+
+Key deviations, all jit-motivated and value-preserving:
+  * The reference drops NaN/Inf rows from the loss by boolean indexing
+    (train_functions.py:91-101, 191-200); here invalid rows get zero weight
+    in the same mask-weighted means — identical values, static shapes.
+  * AMP (`torch.cuda.amp` + GradScaler, train_utils.py:124-143) becomes
+    bf16 matmuls with f32 params/reductions — no loss scaling needed since
+    bf16 has f32's exponent range.
+  * Finetune mode (tools/train.py:96-107: freeze everything except the
+    link/se heads) is an optax `masked` transform instead of
+    requires_grad_ flags.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from jmodt_tpu.config import Config
+from jmodt_tpu.losses import (get_reg_loss, masked_mean,
+                              sigmoid_cross_entropy_with_logits,
+                              sigmoid_focal_loss)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+# --------------------------------------------------------------------------
+# losses
+# --------------------------------------------------------------------------
+
+def _sanitize(x):
+    """Zero out NaN/Inf and return (clean, finite_mask) — the fixed-shape
+    version of the reference's row-dropping (train_functions.py:91-101)."""
+    finite = jnp.isfinite(x)
+    return jnp.where(finite, x, 0.0), finite
+
+
+def rpn_loss_fn(cfg: Config, rpn_cls, rpn_reg, rpn_cls_label, rpn_reg_label
+                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """RPN loss (reference get_rpn_loss, train_functions.py:84-168).
+
+    :param rpn_cls: (B, N, 1) raw logits; rpn_reg (B, N, C)
+    :param rpn_cls_label: (B, N) int {-1, 0, 1}; rpn_reg_label (B, N, 7)
+    """
+    cls_flat, cls_finite = _sanitize(rpn_cls[..., 0].reshape(-1))
+    reg_flat, reg_finite = _sanitize(rpn_reg.reshape(-1, rpn_reg.shape[-1]))
+    reg_finite = jnp.all(reg_finite, axis=-1)
+    label_flat = rpn_cls_label.reshape(-1)
+    reg_label_flat = rpn_reg_label.reshape(-1, 7)
+
+    pos = ((label_flat > 0) & cls_finite).astype(jnp.float32)
+    neg = ((label_flat == 0) & cls_finite).astype(jnp.float32)
+
+    if cfg.RPN.LOSS_CLS == 'SigmoidFocalLoss':
+        cls_weights = (pos + neg) / jnp.clip(jnp.sum(pos), 1.0, None)
+        loss_cls = jnp.sum(sigmoid_focal_loss(
+            cls_flat, pos, cls_weights,
+            alpha=cfg.RPN.FOCAL_ALPHA[0], gamma=cfg.RPN.FOCAL_GAMMA))
+    elif cfg.RPN.LOSS_CLS == 'BinaryCrossEntropy':
+        w = jnp.where(label_flat > 0, cfg.RPN.FG_WEIGHT, 1.0)
+        ce = sigmoid_cross_entropy_with_logits(cls_flat, pos) * w
+        valid = (label_flat >= 0) & cls_finite
+        loss_cls = masked_mean(ce, valid)
+    else:
+        raise NotImplementedError(cfg.RPN.LOSS_CLS)
+
+    fg_mask = (label_flat > 0) & reg_finite
+    reg = get_reg_loss(
+        cls_score=jax.nn.sigmoid(cls_flat),
+        pred_reg=reg_flat, reg_label=reg_label_flat, fg_mask=fg_mask,
+        loc_scope=cfg.RPN.LOC_SCOPE, loc_bin_size=cfg.RPN.LOC_BIN_SIZE,
+        num_head_bin=cfg.RPN.NUM_HEAD_BIN,
+        anchor_size=jnp.asarray(cfg.mean_size),
+        get_xz_fine=cfg.RPN.LOC_XZ_FINE, use_cls_score=True,
+        iou_loss_type=cfg.TRAIN.IOU_LOSS_TYPE)
+    has_fg = (jnp.sum(fg_mask) > 0).astype(jnp.float32)
+    # loss_size x3 and iou x CE_WEIGHT (train_functions.py:155-158)
+    loss_reg = (reg.loc_loss + reg.angle_loss + 3.0 * reg.size_loss
+                + cfg.TRAIN.CE_WEIGHT * reg.iou_loss) * has_fg
+    loss = (loss_cls * cfg.RPN.LOSS_WEIGHT[0]
+            + loss_reg * cfg.RPN.LOSS_WEIGHT[1])
+    return loss, {'rpn_loss': loss, 'rpn_loss_cls': loss_cls,
+                  'rpn_loss_reg': loss_reg, 'rpn_fg_sum': jnp.sum(fg_mask)}
+
+
+def rcnn_loss_fn(cfg: Config, output: Dict[str, Any]
+                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """RCNN + ReID loss (reference get_rcnn_loss, train_functions.py:170-334).
+    `output` is the PointRCNN TRAIN-mode forward dict (incl. 'targets')."""
+    tb: Dict[str, jnp.ndarray] = {}
+    loss = jnp.asarray(0.0)
+
+    if not cfg.TRAIN.FINETUNE:
+        targets = output['targets']
+        cls_flat, cls_finite = _sanitize(output['rcnn_cls'].reshape(-1))
+        reg, reg_finite = _sanitize(output['rcnn_reg'])
+        reg_finite = jnp.all(reg_finite, axis=-1)
+        cls_label = targets.cls_label.astype(jnp.float32)
+
+        if cfg.RCNN.LOSS_CLS == 'BinaryCrossEntropy':
+            ce = sigmoid_cross_entropy_with_logits(
+                cls_flat, jnp.clip(cls_label, 0.0, 1.0))
+            valid = (cls_label >= 0) & cls_finite
+            loss_cls = masked_mean(ce, valid)
+        elif cfg.RCNN.LOSS_CLS == 'SigmoidFocalLoss':
+            pos = ((cls_label > 0) & cls_finite).astype(jnp.float32)
+            neg = ((cls_label == 0) & cls_finite).astype(jnp.float32)
+            w = (pos + neg) / jnp.clip(jnp.sum(pos), 1.0, None)
+            loss_cls = jnp.sum(sigmoid_focal_loss(
+                cls_flat, pos, w, alpha=cfg.RCNN.FOCAL_ALPHA[0],
+                gamma=cfg.RCNN.FOCAL_GAMMA))
+        else:
+            raise NotImplementedError(cfg.RCNN.LOSS_CLS)
+
+        fg_mask = (targets.reg_valid_mask > 0) & reg_finite & cls_finite
+        reg_out = get_reg_loss(
+            cls_score=jax.nn.sigmoid(cls_flat),
+            pred_reg=reg, reg_label=targets.gt_of_rois, fg_mask=fg_mask,
+            loc_scope=cfg.RCNN.LOC_SCOPE, loc_bin_size=cfg.RCNN.LOC_BIN_SIZE,
+            num_head_bin=cfg.RCNN.NUM_HEAD_BIN,
+            anchor_size=jnp.asarray(cfg.mean_size),
+            get_xz_fine=True, get_y_by_bin=cfg.RCNN.LOC_Y_BY_BIN,
+            loc_y_scope=cfg.RCNN.LOC_Y_SCOPE,
+            loc_y_bin_size=cfg.RCNN.LOC_Y_BIN_SIZE,
+            get_ry_fine=True, use_cls_score=True,
+            iou_loss_type=cfg.TRAIN.IOU_LOSS_TYPE)
+        has_fg = (jnp.sum(fg_mask) > 0).astype(jnp.float32)
+        loss_reg = (reg_out.loc_loss + reg_out.angle_loss
+                    + 3.0 * reg_out.size_loss
+                    + cfg.TRAIN.CE_WEIGHT * reg_out.iou_loss) * has_fg
+        loss = loss_cls + loss_reg
+        tb.update(rcnn_loss_cls=loss_cls, rcnn_loss_reg=loss_reg,
+                  rcnn_reg_fg=jnp.sum(fg_mask))
+
+    if cfg.REID.ENABLED and 'reid_link' in output:
+        # link L1 on softmaxed scores (train_functions.py:291-301); masked
+        # mean over valid (track x track) entries == the reference's flat
+        # mean over its dynamic-size matrices
+        link_l1 = jnp.abs(output['reid_link'] - output['reid_gt_link'])
+        loss_link = masked_mean(link_l1, output['reid_link_mask'])
+        # start/end L1 on sigmoid (train_functions.py:304-329)
+        start_l1 = jnp.abs(jax.nn.sigmoid(output['reid_start'])
+                           - output['reid_gt_start'])
+        end_l1 = jnp.abs(jax.nn.sigmoid(output['reid_end'])
+                         - output['reid_gt_end'])
+        loss_start = masked_mean(start_l1, output['reid_start_mask'])
+        loss_end = masked_mean(end_l1, output['reid_end_mask'])
+        loss = loss + (loss_link * cfg.TRAIN.LINK_TRAIN_WEIGHT
+                       + (loss_start + loss_end) * cfg.TRAIN.SE_TRAIN_WEIGHT)
+        tb.update(rcnn_loss_link=loss_link, rcnn_loss_start=loss_start,
+                  rcnn_loss_end=loss_end,
+                  rcnn_link_pos=jnp.sum(output['reid_gt_link'] > 0),
+                  rcnn_link_neg=jnp.sum((output['reid_gt_link'] == 0)
+                                        & output['reid_link_mask']))
+
+    tb['rcnn_loss'] = loss
+    return loss, tb
+
+
+def compute_losses(cfg: Config, output: Dict[str, Any],
+                   batch: Dict[str, Any]
+                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total training loss (reference model_fn_train, train_functions.py:15-82)."""
+    tb: Dict[str, jnp.ndarray] = {}
+    loss = jnp.asarray(0.0)
+    if cfg.RPN.ENABLED and not cfg.RPN.FIXED:
+        rpn_loss, rpn_tb = rpn_loss_fn(cfg, output['rpn_cls'],
+                                       output['rpn_reg'],
+                                       batch['rpn_cls_label'],
+                                       batch['rpn_reg_label'])
+        loss = loss + rpn_loss * cfg.TRAIN.RPN_TRAIN_WEIGHT
+        tb.update(rpn_tb)
+    if cfg.RCNN.ENABLED:
+        rcnn_loss, rcnn_tb = rcnn_loss_fn(cfg, output)
+        loss = loss + rcnn_loss * cfg.TRAIN.RCNN_TRAIN_WEIGHT
+        tb.update(rcnn_tb)
+        if 'targets' in output:
+            tb['max_iou'] = output['targets'].max_iou
+    tb['loss'] = loss
+    return loss, tb
+
+
+# --------------------------------------------------------------------------
+# optimizer
+# --------------------------------------------------------------------------
+
+def trainable_mask(cfg: Config, params) -> Any:
+    """True for trainable leaves.  Finetune mode trains only the link/se
+    heads (reference tools/train.py:96-107); RPN.FIXED additionally freezes
+    the RPN subtree (point_rcnn.py:28-31)."""
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for path in flat:
+        joined = '/'.join(str(p) for p in path)
+        if cfg.TRAIN.FINETUNE:
+            train = ('link_layer' in joined) or ('se_layer' in joined)
+        elif cfg.RPN.FIXED:
+            train = not joined.startswith('rpn/')
+        else:
+            train = True
+        out[path] = train
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def make_optimizer(cfg: Config, params, steps_per_epoch: int
+                   ) -> optax.GradientTransformation:
+    """AdamW + cosine annealing + global-norm clip (tools/train.py:104-119,
+    train_utils.py:140).  The reference steps CosineAnnealingLR once per
+    epoch; the optax schedule reproduces that as a per-step staircase."""
+    def lr(step):
+        epoch = jnp.minimum(step // max(steps_per_epoch, 1), cfg.TRAIN.TMAX)
+        return cfg.TRAIN.ETA_MIN + (cfg.TRAIN.LR - cfg.TRAIN.ETA_MIN) * 0.5 \
+            * (1 + jnp.cos(jnp.pi * epoch / cfg.TRAIN.TMAX))
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.TRAIN.GRAD_NORM_CLIP),
+        optax.adamw(lr, weight_decay=cfg.TRAIN.WEIGHT_DECAY),
+    )
+    mask = trainable_mask(cfg, params)
+    if not all(jax.tree_util.tree_leaves(mask)):
+        tx = optax.masked(tx, mask)
+    return tx
+
+
+def create_train_state(cfg: Config, variables, steps_per_epoch: int
+                       ) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    tx = make_optimizer(cfg, params, steps_per_epoch)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats,
+                      opt_state=tx.init(params)), tx
+
+
+# --------------------------------------------------------------------------
+# train / val step
+# --------------------------------------------------------------------------
+
+def make_train_step(cfg: Config, model,
+                    tx: optax.GradientTransformation) -> Callable:
+    """One optimizer step over a (possibly device-sharded) batch.  Under a
+    data-parallel jit the gradient all-reduce is inserted by XLA (ICI);
+    there is no explicit collective here (SURVEY.md §2.3)."""
+
+    def loss_fn(params, batch_stats, batch, key):
+        dropout_key, sample_key = jax.random.split(key)
+        variables = {'params': params, 'batch_stats': batch_stats}
+        output, updates = model.apply(
+            variables, batch['pts_input'], batch.get('img'),
+            batch.get('pts_xy'), gt_boxes3d=batch['gt_boxes3d'],
+            gt_tids=batch.get('gt_tids'), sample_key=sample_key,
+            train=True, rngs={'dropout': dropout_key},
+            mutable=['batch_stats'])
+        loss, tb = compute_losses(cfg, output, batch)
+        return loss, (tb, updates.get('batch_stats', batch_stats))
+
+    def train_step(state: TrainState, batch, key):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (tb, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch,
+            jax.random.fold_in(key, state.step))
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        tb['grad_norm'] = optax.global_norm(grads)
+        return TrainState(step=state.step + 1, params=params,
+                          batch_stats=new_bs, opt_state=opt_state), tb
+
+    return train_step
+
+
+def make_val_step(cfg: Config, model) -> Callable:
+    """Loss-only evaluation step (reference Trainer val loop,
+    train_utils.py:85-114)."""
+
+    def val_step(state: TrainState, batch, key):
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        output = model.apply(
+            variables, batch['pts_input'], batch.get('img'),
+            batch.get('pts_xy'), gt_boxes3d=batch['gt_boxes3d'],
+            gt_tids=batch.get('gt_tids'), sample_key=key, train=False)
+        loss, tb = compute_losses(cfg, output, batch)
+        return loss, tb
+
+    return val_step

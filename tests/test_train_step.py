@@ -1,0 +1,113 @@
+"""Train-step tests: loss composition, finetune masking, one full optimizer
+step (CPU), and the data-parallel sharded step on the virtual 8-device mesh
+(SURVEY.md §4: the TPU analog of multi-node tests without a cluster)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jmodt_tpu.config import Config
+
+
+@pytest.fixture(scope='module')
+def small_cfg():
+    import __graft_entry__
+    return __graft_entry__._small_config()
+
+
+@pytest.fixture(scope='module')
+def batch(small_cfg):
+    from jmodt_tpu.data.synthetic import make_pair_batch
+    return make_pair_batch(seed=0, cfg=small_cfg, num_pairs=1,
+                           img_hw=(64, 128))
+
+
+def test_synthetic_batch_contract(small_cfg, batch):
+    n = small_cfg.RPN.NUM_POINTS
+    assert batch['pts_input'].shape == (2, n, 3)
+    assert batch['rpn_cls_label'].shape == (2, n)
+    assert batch['rpn_reg_label'].shape == (2, n, 7)
+    # both frames of the pair share track ids
+    assert (batch['gt_tids'][0] == batch['gt_tids'][1]).all()
+    assert (batch['gt_tids'][0] > 0).sum() >= 2
+    # cars produce foreground points
+    assert (batch['rpn_cls_label'] > 0).sum() > 50
+    # fg reg targets point at box centers: offsets bounded by box diagonal
+    fg = batch['rpn_cls_label'][0] > 0
+    assert np.abs(batch['rpn_reg_label'][0][fg][:, :3]).max() < 4.0
+
+
+def test_rpn_loss_decreases_on_perfect_logits(small_cfg, batch):
+    from jmodt_tpu.train.train_step import rpn_loss_fn
+    n = small_cfg.RPN.NUM_POINTS
+    label = jnp.asarray(batch['rpn_cls_label'])
+    good = jnp.where(label > 0, 10.0, -10.0)[..., None]
+    bad = -good
+    reg = jnp.zeros((2, n, 76))
+    reg_label = jnp.asarray(batch['rpn_reg_label'])
+    loss_good, _ = rpn_loss_fn(small_cfg, good, reg, label, reg_label)
+    loss_bad, _ = rpn_loss_fn(small_cfg, bad, reg, label, reg_label)
+    assert float(loss_good) < float(loss_bad)
+
+
+def test_nan_inputs_do_not_poison_loss(small_cfg, batch):
+    from jmodt_tpu.train.train_step import rpn_loss_fn
+    n = small_cfg.RPN.NUM_POINTS
+    label = jnp.asarray(batch['rpn_cls_label'])
+    cls = jnp.zeros((2, n, 1)).at[0, 0, 0].set(jnp.nan)
+    reg = jnp.zeros((2, n, 76)).at[0, :, 0].set(jnp.inf)
+    loss, tb = rpn_loss_fn(small_cfg, cls, reg, label,
+                           jnp.asarray(batch['rpn_reg_label']))
+    assert np.isfinite(float(loss))
+
+
+def test_trainable_mask_finetune():
+    from jmodt_tpu.train.train_step import trainable_mask
+    cfg = Config()  # FINETUNE=True by default
+    params = {'rpn': {'k': 0}, 'rcnn': {'link_layer': {'k': 0},
+                                        'se_layer': {'k': 0},
+                                        'cls_head': {'k': 0}}}
+    mask = trainable_mask(cfg, params)
+    assert mask['rcnn']['link_layer']['k'] and mask['rcnn']['se_layer']['k']
+    assert not mask['rpn']['k'] and not mask['rcnn']['cls_head']['k']
+
+    full = dataclasses.replace(
+        cfg, TRAIN=dataclasses.replace(cfg.TRAIN, FINETUNE=False),
+        RPN=dataclasses.replace(cfg.RPN, FIXED=False))
+    mask = trainable_mask(full, params)
+    assert all(jax.tree_util.tree_leaves(mask))
+
+
+def test_full_train_step(small_cfg, batch):
+    from jmodt_tpu.models import PointRCNN
+    from jmodt_tpu.train import create_train_state, make_train_step
+
+    model = PointRCNN(small_cfg, mode='TRAIN')
+    variables = jax.jit(lambda k: model.init(
+        k, batch['pts_input'], batch['img'], batch['pts_xy'],
+        gt_boxes3d=batch['gt_boxes3d'], gt_tids=batch['gt_tids'],
+        sample_key=jax.random.PRNGKey(1), train=True))(jax.random.PRNGKey(0))
+    state, tx = create_train_state(small_cfg, variables, steps_per_epoch=10)
+    step = jax.jit(make_train_step(small_cfg, model, tx))
+
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    new_state, tb = step(state, jbatch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(tb['loss']))
+    assert int(new_state.step) == 1
+    # params actually moved (FINETUNE=False in the small config)
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.params, new_state.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+    # second step with same compiled fn
+    new_state2, tb2 = step(new_state, jbatch, jax.random.PRNGKey(8))
+    assert np.isfinite(float(tb2['loss']))
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
