@@ -1,0 +1,124 @@
+"""Checkpoint save/restore with partial (strict=False) semantics.
+
+TPU equivalent of /root/reference/jmodt/utils/train_utils.py:13-66: a single
+checkpoint file holds {epoch, it, model_state, optimizer_state}; restore
+merges whatever subtrees match the model and reports missing/unexpected keys
+— this is what lets a detection-only checkpoint bootstrap the link/se
+finetune (reference load_checkpoint strict=False, train_utils.py:31-47).
+
+Serialization is flax msgpack (framework-native, single file, no torch).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Optional, Tuple
+
+import flax.serialization
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _to_pure_dict(tree: Any) -> Any:
+    return jax.tree_util.tree_map(np.asarray, flax.serialization.to_state_dict(tree))
+
+
+def checkpoint_state(variables: Any, opt_state: Any = None,
+                     epoch: Optional[int] = None,
+                     it: Optional[int] = None) -> dict:
+    """Reference checkpoint_state (train_utils.py:13-24)."""
+    return {'epoch': epoch, 'it': it,
+            'model_state': _to_pure_dict(variables),
+            'optimizer_state': (_to_pure_dict(opt_state)
+                                if opt_state is not None else None)}
+
+
+def save_checkpoint(state: dict, filename: str) -> str:
+    """Write `<filename>.ckpt` (reference save_checkpoint,
+    train_utils.py:26-28)."""
+    path = filename + '.ckpt'
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    with open(path, 'wb') as f:
+        f.write(flax.serialization.msgpack_serialize(state))
+    return path
+
+
+def _merge_into(template: Any, saved: Any, path: str,
+                missing: list, loaded: list) -> Any:
+    """Recursively overlay `saved` onto `template`, keeping template leaves
+    with no saved counterpart (the strict=False restore)."""
+    if isinstance(template, dict):
+        out = {}
+        for key, tval in template.items():
+            p = f'{path}/{key}' if path else str(key)
+            if isinstance(saved, dict) and key in saved:
+                out[key] = _merge_into(tval, saved[key], p, missing, loaded)
+            else:
+                missing.append(p)
+                out[key] = tval
+        return out
+    loaded.append(path)
+    arr = np.asarray(saved)
+    t_arr = np.asarray(template)
+    if arr.shape != t_arr.shape:
+        missing.append(path + f' (shape {arr.shape} != {t_arr.shape})')
+        return template
+    return arr.astype(t_arr.dtype)
+
+
+def _unexpected_keys(template: Any, saved: Any, path: str = '') -> list:
+    out = []
+    if isinstance(saved, dict):
+        for key, sval in saved.items():
+            p = f'{path}/{key}' if path else str(key)
+            if not isinstance(template, dict) or key not in template:
+                out.append(p)
+            else:
+                out += _unexpected_keys(template[key], sval, p)
+    return out
+
+
+def load_checkpoint(filename: str, variables_template: Any,
+                    opt_state_template: Any = None,
+                    log: Optional[logging.Logger] = None
+                    ) -> Tuple[Any, Any, int, int]:
+    """Restore with partial-match semantics (reference load_checkpoint,
+    train_utils.py:31-47).
+
+    :return: (variables, opt_state or None, it, epoch)
+    """
+    log = log or logger
+    path = filename if filename.endswith('.ckpt') else filename + '.ckpt'
+    if not os.path.isfile(path):
+        raise FileNotFoundError(path)
+    log.info("==> Loading from checkpoint '%s'", path)
+    with open(path, 'rb') as f:
+        state = flax.serialization.msgpack_restore(f.read())
+
+    template_dict = flax.serialization.to_state_dict(variables_template)
+    missing, loaded = [], []
+    merged = _merge_into(template_dict, state.get('model_state') or {},
+                         '', missing, loaded)
+    unexpected = _unexpected_keys(template_dict, state.get('model_state')
+                                  or {})
+    if missing:
+        log.info('missing keys (%d): %s', len(missing), missing[:20])
+    if unexpected:
+        log.info('unexpected keys (%d): %s', len(unexpected),
+                 unexpected[:20])
+    if not loaded:
+        raise RuntimeError(f'no keys restored from {path}')
+    variables = flax.serialization.from_state_dict(variables_template,
+                                                   merged)
+
+    opt_state = None
+    if opt_state_template is not None and state.get('optimizer_state'):
+        opt_state = flax.serialization.from_state_dict(
+            opt_state_template, state['optimizer_state'])
+    epoch = int(state['epoch']) if state.get('epoch') is not None else -1
+    it = int(state['it']) if state.get('it') is not None else 0
+    log.info('==> Done')
+    return variables, opt_state, it, epoch

@@ -1,0 +1,326 @@
+"""CLI: two-stage evaluation — joint detection inference, then tracking.
+
+Port of /root/reference/tools/eval.py:
+  stage 1 (eval_joint_detection, :40-242): batch-1 inference, decode + score
+    + rotated NMS (fused on device, jmodt_tpu/models/inference.py), recall
+    bookkeeping, per-sample KITTI txt + 512-d feature npy, empty-file
+    backfill, detection AP;
+  stage 2 (eval_tracking, :294-417): per-sequence online tracking over the
+    stage-1 files, per-frame timing of Tracker.update only, KITTI tracking
+    txt, CLEAR-MOT.
+
+Without --data_root, stage 1 runs on synthetic frames (writes the same
+files) and stage 2 tracks over them with a fabricated single-sequence map —
+the full pipeline is exercisable with no dataset on disk.
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import logging
+import os
+import re
+import time
+from datetime import datetime
+
+import jax
+import numpy as np
+
+from jmodt_tpu.config import TEST_SEQ_ID, VALID_SEQ_ID, Config
+from jmodt_tpu.models import PointRCNN
+from jmodt_tpu.models.inference import make_detection_step, make_recall_fn
+from jmodt_tpu.models.rcnn import CorrelationHead
+from jmodt_tpu.tracking import Tracker
+from jmodt_tpu.utils import enable_compilation_cache
+from jmodt_tpu.utils.kitti_io import (save_kitti_detection_format,
+                                      save_kitti_tracking_format)
+from jmodt_tpu.utils.object3d import Object3d
+
+THRESH_LIST = (0.1, 0.3, 0.5, 0.7, 0.9)
+
+
+def build_model_and_ckpt(cfg, mode, ckpt, example, logger):
+    model = PointRCNN(cfg, mode=mode)
+    variables = jax.jit(lambda k: model.init(
+        k, example['pts_input'], example['img'], example['pts_xy'],
+        train=False))(jax.random.PRNGKey(0))
+    if ckpt:
+        from jmodt_tpu.train.checkpoint import load_checkpoint
+        variables, _, _, _ = load_checkpoint(ckpt, variables, log=logger)
+    else:
+        logger.info('WARNING: no --ckpt given, using random weights')
+    return model, variables
+
+
+def eval_joint_detection(args, cfg, logger):
+    logger.info('********** Start evaluate detection **********')
+    num_list = re.findall(r'\d+', args.ckpt) if args.ckpt else []
+    epoch_id = num_list[-1] if num_list else 'no_number'
+    mode = 'TEST' if args.test else 'EVAL'
+    split = cfg.TEST.SPLIT if args.test else cfg.EVAL.SPLIT
+
+    txt_dir = os.path.join(args.det_output, 'txt')
+    feat_dir = os.path.join(args.det_output, 'feat')
+    os.makedirs(txt_dir, exist_ok=True)
+    os.makedirs(feat_dir, exist_ok=True)
+
+    if args.data_root:
+        from jmodt_tpu.data.kitti_dataset import KittiDataset
+        dataset = KittiDataset(
+            root_dir=args.data_root, npoints=cfg.RPN.NUM_POINTS,
+            split=split, mode=mode, classes=cfg.CLASSES,
+            challenge='tracking', logger=logger, cfg=cfg)
+        sample_ids = list(dataset.sample_id_list)
+
+        def frames():
+            for sid in sample_ids:
+                s = dataset.get_sample_dict(sid)
+                yield sid, dataset.collate_batch([s]), \
+                    dataset.get_calib(sid), dataset.get_image_shape(sid)
+    else:
+        from jmodt_tpu.data.synthetic import make_eval_frame
+        from jmodt_tpu.utils.calibration import Calibration
+        logger.info('no --data_root: synthetic frames x%d',
+                    args.synthetic_frames)
+        dataset = None
+        sample_ids = list(range(args.synthetic_frames))
+        calib = Calibration({'P2': np.array(
+            [[720.0, 0, 620, 0], [0, 720.0, 190, 0], [0, 0, 1, 0]],
+            np.float32), 'R0': np.eye(3, dtype=np.float32),
+            'Tr_velo2cam': np.eye(3, 4, dtype=np.float32)})
+
+        def frames():
+            for sid in sample_ids:
+                yield sid, make_eval_frame(seed=sid, cfg=cfg), calib, \
+                    (384, 1280, 3)
+
+    example = next(frames())[1]
+    model, variables = build_model_and_ckpt(cfg, mode, args.ckpt,
+                                            example, logger)
+    step = make_detection_step(cfg, model)
+    recall_fn = make_recall_fn()
+
+    total_recalled = np.zeros(5, np.int64)
+    total_roi_recalled = np.zeros(5, np.int64)
+    total_gt = 0
+    final_total = 0
+    t_infer = 0.0
+    n_frames = 0
+
+    for sid, data, calib, img_shape in frames():
+        t0 = time.perf_counter()
+        out = step(variables, data['pts_input'], data['img'],
+                   data['pts_xy'])
+        out = jax.tree_util.tree_map(np.asarray, out)
+        t_infer += time.perf_counter() - t0
+        n_frames += 1
+
+        keep = out['keep'][0]
+        boxes = out['boxes'][0][keep]
+        scores = out['scores'][0][keep]
+        feats = out['feats'][0][keep]
+
+        if not args.test and 'gt_boxes3d' in data:
+            gt = np.asarray(data['gt_boxes3d'][0])
+            gt = gt[np.abs(gt).sum(axis=1) > 0]
+            if len(gt):
+                r, rr, ng = recall_fn(boxes, out['rois'][0],
+                                      out['roi_mask'][0], gt)
+                total_recalled += r
+                total_roi_recalled += rr
+                total_gt += ng
+
+        if len(boxes):
+            final_total += save_kitti_detection_format(
+                int(sid), calib, boxes, txt_dir, scores, img_shape,
+                feats, feat_dir, cls_name=cfg.CLASSES)
+        else:
+            open(os.path.join(txt_dir, '%06d.txt' % int(sid)), 'w').close()
+            np.save(os.path.join(feat_dir, '%06d.npy' % int(sid)),
+                    np.zeros((0, feats.shape[-1]), np.float32))
+
+    # empty-file backfill (reference tools/eval.py:203-212)
+    empty_cnt = 0
+    for sid in sample_ids:
+        cur = os.path.join(txt_dir, '%06d.txt' % int(sid))
+        if not os.path.exists(cur):
+            open(cur, 'w').close()
+            empty_cnt += 1
+    if empty_cnt:
+        logger.info('dumped %d empty files', empty_cnt)
+
+    logger.info('---------- performance of epoch %s ----------', epoch_id)
+    logger.info('inference: %.1f ms/frame over %d frames',
+                1e3 * t_infer / max(n_frames, 1), n_frames)
+    logger.info('final average detections: %.3f',
+                final_total / max(len(sample_ids), 1))
+    for idx, thresh in enumerate(THRESH_LIST):
+        logger.info('total roi bbox recall(thresh=%.3f): %d / %d = %f',
+                    thresh, total_roi_recalled[idx], total_gt,
+                    total_roi_recalled[idx] / max(total_gt, 1))
+    for idx, thresh in enumerate(THRESH_LIST):
+        logger.info('total bbox recall(thresh=%.3f): %d / %d = %f',
+                    thresh, total_recalled[idx], total_gt,
+                    total_recalled[idx] / max(total_gt, 1))
+
+    if not args.test and args.data_root:
+        from jmodt_tpu.eval.detection_ap import evaluate_detections
+        name_to_class = {'Car': 0, 'Pedestrian': 1, 'Cyclist': 2}
+        ap_str, ap_dict = evaluate_detections(
+            dataset.label_dir, txt_dir, image_idx_list=sample_ids,
+            current_class=name_to_class[cfg.CLASSES])
+        logger.info(ap_str)
+        logger.info('%s', ap_dict)
+    logger.info('result saved to: %s', args.det_output)
+
+
+def eval_tracking(args, cfg, logger):
+    """Stage 2 (reference eval_tracking, tools/eval.py:294-417)."""
+    part = 'test' if args.test else 'val'
+    tracking_res_dir = os.path.join(args.output_dir, args.tag, part)
+    os.makedirs(tracking_res_dir, exist_ok=True)
+
+    # MOT hyper-parameters (reference tools/eval.py:300-319)
+    t_miss, t_hit = 2, 0
+    w_cls, w_app, w_iou, w_dis, w_se = 100, 2, 10, 10, 1
+    cls_thresh = 0.85
+    score_thresh = match_thresh = 0.0
+    logger.info('********** Start evaluate tracking **********')
+    logger.info('t_miss=%d t_hit=%d w_cls=%d w_app=%d w_iou=%d w_dis=%d '
+                'w_se=%d', t_miss, t_hit, w_cls, w_app, w_iou, w_dis, w_se)
+
+    # only the link/se heads are needed (reference tools/eval.py:326-340)
+    from jmodt_tpu.data.synthetic import make_eval_frame
+    example = make_eval_frame(seed=0, cfg=cfg,
+                              npoints=cfg.RPN.NUM_POINTS)
+    model, variables = build_model_and_ckpt(
+        cfg, 'TEST' if args.test else 'EVAL', args.ckpt, example, logger)
+    rcnn_params = variables['params']['rcnn']
+    link_head = CorrelationHead(cfg.REID.LINK_FC, use_bn=cfg.REID.USE_BN)
+    se_head = CorrelationHead(cfg.REID.SE_FC, use_bn=cfg.REID.USE_BN)
+
+    def link_apply(x):
+        return link_head.apply({'params': rcnn_params['link_layer']}, x)
+
+    def se_apply(x):
+        return se_head.apply({'params': rcnn_params['se_layer']}, x)
+
+    car_tracker = Tracker(link_apply, se_apply, t_miss=t_miss, t_hit=t_hit,
+                          w_cls=w_cls, w_app=w_app, w_iou=w_iou, w_dis=w_dis,
+                          w_se=w_se, hungarian=args.hungarian,
+                          score_thresh=score_thresh,
+                          match_thresh=match_thresh)
+
+    if args.data_root:
+        from jmodt_tpu.data.converter import (read_sample2frame,
+                                              read_seq2sample)
+        base = os.path.join(args.data_root, 'tracking_object',
+                            'testing' if args.test else 'training')
+        seq2sample = read_seq2sample(os.path.join(base, 'seq2sample.txt'))
+        sample2frame = read_sample2frame(
+            os.path.join(base, 'sample2frame.txt'))
+        seq_list = (list(TEST_SEQ_ID) if args.test else
+                    [s for s in VALID_SEQ_ID if s in seq2sample])
+    else:
+        # fabricate one sequence over the synthetic stage-1 outputs
+        ids = sorted(p[:-4] for p in os.listdir(
+            os.path.join(args.det_output, 'txt')) if p.endswith('.txt'))
+        seq2sample = {'0000': ids}
+        sample2frame = {s: ('0000', '%06d' % i)
+                        for i, s in enumerate(ids)}
+        seq_list = ['0000']
+
+    total_time, total_frames = 0.0, 0
+    for seq_id in seq_list:
+        sample_list = seq2sample.get(seq_id, [])
+        out_path = os.path.join(tracking_res_dir, f'{seq_id}.txt')
+        car_tracker.reset()
+        with open(out_path, 'w') as out_file:
+            for sample_id in sample_list:
+                txt = os.path.join(args.det_output, 'txt',
+                                   f'{sample_id}.txt')
+                with open(txt) as f:
+                    object_lines = f.readlines()
+                if not object_lines:
+                    continue
+                objs = np.array([Object3d(line) for line in object_lines])
+                feats = np.load(os.path.join(args.det_output, 'feat',
+                                             f'{sample_id}.npy'))
+                assert len(feats) == len(objs), \
+                    f'obj {len(objs)} != feat {len(feats)}'
+                boxes = np.stack([o.box3d for o in objs])
+                scores = np.array([o.score for o in objs], np.float32)
+
+                mask = scores > cls_thresh
+                boxes, scores = boxes[mask], scores[mask]
+                feats, objs = feats[mask], objs[mask]
+                frame_id = int(sample2frame[sample_id][1])
+
+                t0 = time.perf_counter()
+                results = car_tracker.update(frame_id, boxes, scores,
+                                             feats, objs)
+                total_time += time.perf_counter() - t0
+                total_frames += 1
+                save_kitti_tracking_format(results, frame_id, out_file)
+    fps = total_frames / total_time if total_time > 0 else float('nan')
+    logger.info('total frames: %d, total time: %.3f, frames per second: '
+                '%.1f', total_frames, total_time, fps)
+
+    if not args.test and args.data_root:
+        from jmodt_tpu.eval.clear_mot import evaluate as evaluate_tracking
+        gt_path = os.path.join(args.data_root, 'tracking', 'training')
+        evaluate_tracking(result_sha=args.tag, result_root=args.output_dir,
+                          part=part, gt_path=gt_path, logger=logger)
+
+
+def main():
+    parser = argparse.ArgumentParser(description='arg parser')
+    parser.add_argument('--data_root', type=str, default=None)
+    parser.add_argument('--det_output', type=str, default='output/det')
+    parser.add_argument('--output_dir', type=str, default='output')
+    parser.add_argument('--ckpt', type=str, default=None)
+    parser.add_argument('--tag', type=str, default='mot_data')
+    parser.add_argument('--hungarian', action='store_true')
+    parser.add_argument('--only_tracking', action='store_true')
+    parser.add_argument('--test', action='store_true')
+    parser.add_argument('--synthetic_frames', type=int, default=8)
+    parser.add_argument('--small', action='store_true')
+    args = parser.parse_args()
+
+    enable_compilation_cache()
+    np.random.seed(2333)  # reference tools/eval.py:36
+
+    logger = logging.getLogger('eval')
+    logger.setLevel(logging.INFO)
+    ch = logging.StreamHandler()
+    ch.setFormatter(logging.Formatter('%(message)s'))
+    logger.addHandler(ch)
+
+    if args.small:
+        import __graft_entry__
+        cfg = __graft_entry__._small_config()
+    else:
+        cfg = Config()
+
+    stamp = datetime.now().strftime('%Y-%m-%d-%H-%M-%S')
+    if not args.only_tracking:
+        os.makedirs(args.det_output, exist_ok=True)
+        fh = logging.FileHandler(
+            os.path.join(args.det_output, f'{stamp}.log'))
+        logger.addHandler(fh)
+        eval_joint_detection(args, cfg, logger)
+        logger.removeHandler(fh)
+
+    os.makedirs(os.path.join(args.output_dir, args.tag), exist_ok=True)
+    fh = logging.FileHandler(
+        os.path.join(args.output_dir, args.tag, f'{stamp}.log'))
+    logger.addHandler(fh)
+    eval_tracking(args, cfg, logger)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,177 @@
+"""CLI: train / finetune the joint detection + ReID model.
+
+Port of /root/reference/tools/train.py.  With --data_root it trains on a
+converted KITTI tracking_object tree; without it, it runs on synthetic
+scenes (jmodt_tpu/data/synthetic.py) so the full loop can be exercised on
+any machine (this image has no KITTI data).
+
+Finetune mode (default, like the reference: tools/train.py:20,54-58) freezes
+everything except the link/se heads via the optax trainable mask.
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import dataclasses
+import logging
+import os
+
+import jax
+import numpy as np
+
+from jmodt_tpu.config import Config, config_from_overrides
+from jmodt_tpu.models import PointRCNN
+from jmodt_tpu.train import create_train_state
+from jmodt_tpu.train.checkpoint import load_checkpoint
+from jmodt_tpu.train.trainer import Trainer, make_loader
+from jmodt_tpu.utils import enable_compilation_cache
+
+
+def create_logger(log_file):
+    log_format = '%(asctime)s  %(levelname)5s  %(message)s'
+    logging.basicConfig(level=logging.INFO, format=log_format,
+                        filename=log_file)
+    console = logging.StreamHandler()
+    console.setFormatter(logging.Formatter(log_format))
+    logger = logging.getLogger('train')
+    logger.addHandler(console)
+    return logger
+
+
+def synthetic_loader_fn(cfg, pairs_per_epoch, batch_pairs, npoints, img_hw,
+                        seed0):
+    from jmodt_tpu.data.synthetic import make_pair_batch
+
+    def gen():
+        for i in range(pairs_per_epoch // batch_pairs):
+            yield make_pair_batch(seed=seed0 + i, cfg=cfg,
+                                  num_pairs=batch_pairs, npoints=npoints,
+                                  img_hw=img_hw)
+    return gen
+
+
+def main():
+    parser = argparse.ArgumentParser(description='arg parser')
+    parser.add_argument('--data_root', type=str, default=None)
+    parser.add_argument('--challenge', type=str, default='tracking')
+    parser.add_argument('--finetune', action='store_false',
+                        help='finetune link/se heads only (default true; '
+                             'passing the flag disables it, matching the '
+                             'reference flag semantics)')
+    parser.add_argument('--batch_size', type=int, default=4,
+                        help='frame pairs per step (reference batch 12)')
+    parser.add_argument('--output_dir', type=str, default='output')
+    parser.add_argument('--ckpt', type=str, default=None)
+    parser.add_argument('--epochs', type=int, default=None)
+    parser.add_argument('--train_with_eval', action='store_true')
+    parser.add_argument('--data_parallel', action='store_true',
+                        help='shard the batch over all local devices')
+    parser.add_argument('--small', action='store_true',
+                        help='miniature config for smoke runs')
+    parser.add_argument('--synthetic_pairs', type=int, default=16,
+                        help='pairs per synthetic epoch (no --data_root)')
+    parser.add_argument('--set', dest='set_cfgs', default=None,
+                        nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    enable_compilation_cache()
+    os.makedirs(args.output_dir, exist_ok=True)
+    logger = create_logger(os.path.join(args.output_dir, 'train.log'))
+
+    if args.small:
+        import __graft_entry__
+        cfg = __graft_entry__._small_config()
+    else:
+        cfg = Config()
+    if args.set_cfgs:
+        cfg = config_from_overrides(cfg, args.set_cfgs)
+    cfg = dataclasses.replace(
+        cfg,
+        RPN=dataclasses.replace(cfg.RPN, FIXED=args.finetune),
+        TRAIN=dataclasses.replace(cfg.TRAIN, FINETUNE=args.finetune))
+    if args.epochs is not None:
+        cfg = dataclasses.replace(
+            cfg, TRAIN=dataclasses.replace(cfg.TRAIN, EPOCHS=args.epochs))
+    logger.info('devices: %s', jax.devices())
+    logger.info('finetune=%s epochs=%d', args.finetune, cfg.TRAIN.EPOCHS)
+
+    img_hw = (64, 128) if args.small else (384, 1280)
+    if args.data_root:
+        from jmodt_tpu.data.kitti_dataset import KittiDataset
+        train_set = KittiDataset(
+            root_dir=args.data_root, npoints=cfg.RPN.NUM_POINTS,
+            split=cfg.TRAIN.SPLIT, mode='TRAIN', logger=logger,
+            classes=cfg.CLASSES, challenge=args.challenge, cfg=cfg,
+            fixed_img_size=img_hw)
+        train_loader_fn = make_loader(train_set, args.batch_size,
+                                      shuffle=True, num_workers=4)
+        steps_per_epoch = max(len(train_set) // args.batch_size, 1)
+        val_loader_fn = None
+        if args.train_with_eval:
+            val_set = KittiDataset(
+                root_dir=args.data_root, npoints=cfg.RPN.NUM_POINTS,
+                split=cfg.TRAIN.VAL_SPLIT, mode='TRAIN', logger=logger,
+                classes=cfg.CLASSES, challenge=args.challenge, cfg=cfg,
+                fixed_img_size=img_hw)
+            val_loader_fn = make_loader(val_set, args.batch_size,
+                                        shuffle=False, num_workers=2)
+    else:
+        logger.info('no --data_root: training on synthetic scenes')
+        npoints = cfg.RPN.NUM_POINTS
+        train_loader_fn = synthetic_loader_fn(
+            cfg, args.synthetic_pairs, args.batch_size, npoints, img_hw, 0)
+        val_loader_fn = (synthetic_loader_fn(
+            cfg, max(args.synthetic_pairs // 4, args.batch_size),
+            args.batch_size, npoints, img_hw, 10_000)
+            if args.train_with_eval else None)
+        steps_per_epoch = max(args.synthetic_pairs // args.batch_size, 1)
+
+    # init model from one batch
+    batch0 = next(iter(train_loader_fn()))
+    model = PointRCNN(cfg, mode='TRAIN')
+    variables = jax.jit(lambda k: model.init(
+        k, batch0['pts_input'][:2], batch0['img'][:2], batch0['pts_xy'][:2],
+        gt_boxes3d=batch0['gt_boxes3d'][:2], gt_tids=batch0['gt_tids'][:2],
+        sample_key=jax.random.PRNGKey(1), train=True))(jax.random.PRNGKey(0))
+
+    start_epoch = it = 0
+    state, tx = create_train_state(cfg, variables, steps_per_epoch)
+    if args.ckpt:
+        opt_template = state.opt_state if cfg.TRAIN.RELOAD_OPTIMIZER else None
+        variables, opt_state, it, start_epoch = load_checkpoint(
+            args.ckpt, variables, opt_template, log=logger)
+        state, tx = create_train_state(cfg, variables, steps_per_epoch)
+        if opt_state is not None:
+            state = state.replace(opt_state=opt_state,
+                                  step=np.int32(it))
+
+    tb_log = None
+    try:
+        from tensorboardX import SummaryWriter
+        tb_log = SummaryWriter(
+            log_dir=os.path.join(args.output_dir, 'tensorboard'))
+    except Exception:
+        logger.info('tensorboardX unavailable; skipping tb logging')
+
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from jmodt_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        logger.info('data-parallel over %d devices', len(jax.devices()))
+
+    ckpt_dir = os.path.join(args.output_dir, 'ckpt')
+    os.makedirs(ckpt_dir, exist_ok=True)
+    trainer = Trainer(cfg, model, state, tx, ckpt_dir=ckpt_dir,
+                      tb_log=tb_log, mesh=mesh, log=logger)
+    logger.info('*************** Start training ***************')
+    trainer.train(it, start_epoch, cfg.TRAIN.EPOCHS, train_loader_fn,
+                  val_loader_fn)
+    logger.info('*************** End training ***************')
+
+
+if __name__ == '__main__':
+    main()
