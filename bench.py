@@ -1,15 +1,23 @@
-"""End-to-end per-frame benchmark on the flagship model.
+"""End-to-end per-frame benchmark: streaming joint detection + tracking.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures the full-size joint-detection forward (16384 points, 384x1280
-image, LI-Fusion on, 100 proposals -> RCNN + ReID features) per frame —
-the compute-dominant stage of the JMODT pipeline.  The reference's only
-published runtime is 0.01 s/frame for `Tracker.update` alone, *excluding*
-detection (reference tools/eval.py:387-400, README.md:21-26);
-`vs_baseline` reports that 0.01 s budget divided by our full detection
-forward time (values > 1 mean the whole detector runs faster than the
-reference's tracker-only stage).
+Per frame, ONE on-device program (jmodt_tpu/pipeline.py::make_joint_step)
+runs the FULL online loop: 16384-point cloud + 384x1280 uint8 camera image
+through the LI-Fusion backbone, RPN, proposal NMS, RCNN refinement + ReID
+features, box decode, score threshold, rotated NMS, top-K selection, and
+the on-device tracker step (vectorized Kalman + link/IoU/distance affinity
++ assignment + lifecycle).  Fresh frame data is uploaded every iteration
+(the real streaming condition); the timed region blocks on the final
+tracker state, so every frame's compute is complete on device.  Result
+rows are materialized AFTER timing — the tracker needs no host feedback,
+so output readback overlaps subsequent work in deployment.
+
+The reference's published runtime is 0.01 s/frame for `Tracker.update`
+ALONE — detection excluded (reference tools/eval.py:387-400,
+README.md:21-26).  `vs_baseline` = 0.01 s / our FULL detect+track frame
+time: values > 1 mean the whole pipeline outruns the reference's tracking
+stage by itself.
 """
 
 from __future__ import annotations
@@ -18,46 +26,67 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 BASELINE_S_PER_FRAME = 0.01  # reference README.md:21-26 (tracking only)
+N_FRAMES = 100
 
 
 def main():
     from jmodt_tpu.config import Config
     from jmodt_tpu.data.synthetic import make_eval_frame
     from jmodt_tpu.models import PointRCNN
+    from jmodt_tpu.models.rcnn import CorrelationHead
+    from jmodt_tpu.pipeline import make_joint_step
+    from jmodt_tpu.tracking.device_tracker import init_state
+    from jmodt_tpu.utils import enable_compilation_cache
 
+    enable_compilation_cache()
     cfg = Config()
     model = PointRCNN(cfg, mode='EVAL')
-    frame = make_eval_frame(seed=0, cfg=cfg)
-    pts, img, xy = frame['pts_input'], frame['img'], frame['pts_xy']
+    frames = [make_eval_frame(seed=s, cfg=cfg, raw_u8=True)
+              for s in range(16)]
+    f0 = frames[0]
+    variables = jax.jit(lambda k: model.init(
+        k, f0['pts_input'],
+        (f0['img'].astype(np.float32) / 255.0 - 0.45) / 0.22,
+        f0['pts_xy'], train=False))(jax.random.PRNGKey(0))
 
-    variables = jax.jit(
-        lambda k: model.init(k, pts, img, xy, train=False)
-    )(jax.random.PRNGKey(0))
-    fwd = jax.jit(lambda v, p, i, x: model.apply(v, p, i, x, train=False))
+    feat_dim = cfg.RCNN.SA_CONFIG.MLPS[-1][-1]
+    head = CorrelationHead(cfg.REID.LINK_FC, use_bn=cfg.REID.USE_BN)
+    link_p = head.init(jax.random.PRNGKey(1),
+                       np.zeros((1, feat_dim), np.float32))
+    joint = make_joint_step(cfg, model, head.apply, det_score_thresh=0.2)
+    state0 = init_state(64, feat_dim)
 
-    # compile + warmup
-    out = fwd(variables, pts, img, xy)
-    jax.block_until_ready(out)
+    # compile + warm
+    st, packed = joint(variables, link_p, state0, jnp.asarray(1),
+                       f0['pts_input'], f0['img'], f0['pts_xy'])
+    jax.block_until_ready(packed)
 
-    # steady state over distinct frames (defeats any constant folding)
-    frames = [make_eval_frame(seed=s, cfg=cfg) for s in range(4)]
-    iters = 25
+    st = state0
+    outs = []
     t0 = time.perf_counter()
-    for i in range(iters):
+    for i in range(N_FRAMES):
         f = frames[i % len(frames)]
-        out = fwd(variables, f['pts_input'], f['img'], f['pts_xy'])
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+        st, packed = joint(variables, link_p, st, jnp.asarray(i + 1),
+                           f['pts_input'], f['img'], f['pts_xy'])
+        outs.append(packed)
+    jax.block_until_ready(st)
+    dt = (time.perf_counter() - t0) / N_FRAMES
 
-    assert np.isfinite(np.asarray(out['rcnn_cls'])).all()
+    # validate outside the timed region: tracks were actually produced
+    last = np.asarray(outs[-1])
+    n_rows = int((last[:, 9] > 0.5).sum())
+    assert np.isfinite(last).all()
+    assert n_rows > 0, 'tracker emitted no rows'
     print(json.dumps({
-        'metric': 'detection_forward_ms_per_frame',
+        'metric': 'detect_plus_track_ms_per_frame',
         'value': round(dt * 1e3, 3),
         'unit': 'ms',
         'vs_baseline': round(BASELINE_S_PER_FRAME / dt, 2),
+        'last_frame_track_rows': n_rows,
     }))
 
 

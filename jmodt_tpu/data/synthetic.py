@@ -182,12 +182,17 @@ def make_pair_batch(seed: int, cfg: Config, num_pairs: int = 1,
 
 
 def make_eval_frame(seed: int, cfg: Config, npoints: Optional[int] = None,
-                    img_hw=(IMG_H, IMG_W)) -> Dict[str, np.ndarray]:
-    """One inference input (batch size 1)."""
+                    img_hw=(IMG_H, IMG_W),
+                    raw_u8: bool = False) -> Dict[str, np.ndarray]:
+    """One inference input (batch size 1).  With raw_u8 the image is raw
+    uint8 (device-side normalization path of make_detection_step)."""
     rng = np.random.RandomState(seed)
     scene = make_scene(rng, cfg, npoints, img_hw=img_hw)
+    img = scene['img']
+    if raw_u8:
+        img = (np.clip(img + 0.5, 0, 1) * 255).astype(np.uint8)
     return dict(pts_input=scene['pts'][None],
-                img=scene['img'][None],
+                img=img[None],
                 pts_xy=scene['pts_xy'][None],
                 gt_boxes3d=scene['gt_boxes3d'][None],
                 gt_valid=scene['gt_valid'][None])

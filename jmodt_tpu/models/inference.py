@@ -23,16 +23,29 @@ from jmodt_tpu.ops.nms import nms_bev
 from jmodt_tpu.ops.rotated_iou import boxes_iou3d
 
 
-def make_detection_step(cfg: Config, model: PointRCNN):
+# ImageNet stats (reference kitti_dataset.py:40-41); applied on device when
+# the step receives a raw uint8 image — shipping uint8 over PCIe/ICI is 4x
+# less host->device traffic than pre-normalized f32, and the normalize fuses
+# into the first conv.
+_IMG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMG_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def make_detection_step(cfg: Config, model: PointRCNN, jit: bool = True):
     """Returns jitted `step(variables, pts, img, xy) -> dict` with fixed
     shapes: boxes (B, M, 7), scores (B, M), feats (B, M, 512), keep (B, M)
     bool — survivors of score threshold + rotated NMS, descending-score
-    order (reference tools/eval.py:109-190)."""
+    order (reference tools/eval.py:109-190).
+
+    `img` may be float32 (already ImageNet-normalized) or raw uint8
+    (normalized on device; preferred for transfer bandwidth)."""
     mc = cfg.mode_cfg(model.mode)
     m = mc.RPN_POST_NMS_TOP_N
 
-    @jax.jit
     def step(variables, pts, img, xy):
+        if img is not None and img.dtype == jnp.uint8:
+            img = (img.astype(jnp.float32) / 255.0
+                   - _IMG_MEAN) / _IMG_STD
         out = model.apply(variables, pts, img, xy, train=False)
         b = pts.shape[0]
         rois = out['rois']                                  # (B, M, 7)
@@ -73,7 +86,10 @@ def make_detection_step(cfg: Config, model: PointRCNN):
                 'keep': keep, 'rois': rois, 'roi_mask': out['roi_mask'],
                 'seg_result': out['seg_result']}
 
-    return step
+    # jit only at the API boundary: a nested pjit inside an outer scan/jit
+    # becomes a separate XLA computation call, which this relay executes
+    # with a full program-switch penalty per iteration
+    return jax.jit(step) if jit else step
 
 
 def make_recall_fn(max_gt: int = 32, max_det: int = 128):

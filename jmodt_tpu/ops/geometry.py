@@ -61,20 +61,16 @@ def boxes3d_to_corners3d(boxes3d: jnp.ndarray) -> jnp.ndarray:
     x_c = jnp.stack([l / 2, l / 2, -l / 2, -l / 2, l / 2, l / 2, -l / 2, -l / 2], axis=1)
     y_c = jnp.stack([zeros, zeros, zeros, zeros, -h, -h, -h, -h], axis=1)
     z_c = jnp.stack([w / 2, -w / 2, -w / 2, w / 2, w / 2, -w / 2, -w / 2, w / 2], axis=1)
-    corners = jnp.stack([x_c, y_c, z_c], axis=1)  # (N, 3, 8)
 
-    c, s = jnp.cos(ry), jnp.sin(ry)
-    ones = jnp.ones_like(c)
-    zer = jnp.zeros_like(c)
-    # R rows: [c, 0, s], [0, 1, 0], [-s, 0, c]  (kitti_utils.py:479-483)
-    rot = jnp.stack([
-        jnp.stack([c, zer, s], axis=1),
-        jnp.stack([zer, ones, zer], axis=1),
-        jnp.stack([-s, zer, c], axis=1),
-    ], axis=1)  # (N, 3, 3)
-    rotated = jnp.einsum('nij,njk->nik', rot, corners)  # (N, 3, 8)
-    rotated = rotated + boxes3d[:, 0:3, None]
-    return jnp.transpose(rotated, (0, 2, 1))  # (N, 8, 3)
+    # R rows: [c, 0, s], [0, 1, 0], [-s, 0, c] (kitti_utils.py:479-483),
+    # applied elementwise — a batched 3x3 dot_general would hit the MXU's
+    # sub-tile slow path (and degrades this relay's program cache)
+    c = jnp.cos(ry)[:, None]
+    s = jnp.sin(ry)[:, None]
+    x_r = c * x_c + s * z_c
+    z_r = -s * x_c + c * z_c
+    corners = jnp.stack([x_r, y_c, z_r], axis=2)  # (N, 8, 3)
+    return corners + boxes3d[:, None, 0:3]
 
 
 def boxes3d_to_bev(boxes3d: jnp.ndarray) -> jnp.ndarray:
