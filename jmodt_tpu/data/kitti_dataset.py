@@ -85,7 +85,7 @@ class KittiDataset:
                  challenge: str = 'tracking',
                  fixed_img_size=(384, 1280), cfg: Optional[Config] = None,
                  max_gt: int = 32, rpn_labels: Optional[bool] = None,
-                 seed: int = 0):
+                 seed: int = 0, use_native: bool = True):
         assert mode in ('TRAIN', 'EVAL', 'TEST'), f'invalid mode {mode}'
         self.cfg = cfg or Config()
         self.split = split
@@ -98,6 +98,7 @@ class KittiDataset:
         self.rng = np.random.RandomState(seed)
         self.rpn_labels = (not self.cfg.RPN.FIXED if rpn_labels is None
                            else rpn_labels)
+        self.use_native = use_native
 
         is_test = split == 'test'
         sub = 'object' if challenge == 'detection' else 'tracking_object'
@@ -228,14 +229,29 @@ class KittiDataset:
         calib = self.get_calib(sample_id)
         img = self.get_normalized_image(sample_id)
         img_shape = self.get_image_shape(sample_id)
-        pts_lidar = self.get_lidar(sample_id)
 
-        pts_rect = calib.lidar_to_rect(pts_lidar[:, 0:3])
-        pts_img, pts_depth = calib.rect_to_img(pts_rect)
-        valid = self._valid_flag(pts_rect, pts_img, pts_depth, img_shape)
-        pts_rect = pts_rect[valid]
-        pts_intensity = pts_lidar[valid, 3]
-        pts_xy = pts_img[valid]
+        native = None
+        if self.use_native:
+            from jmodt_tpu import native as native_mod
+            lidar_file = os.path.join(self.lidar_dir,
+                                      '%06d.bin' % sample_id)
+            pts_lidar = native_mod.load_velodyne(lidar_file)
+            if pts_lidar is not None:
+                native = native_mod.project_and_filter(
+                    pts_lidar, calib.V2C, calib.R0, calib.P2, img_shape,
+                    scope=(self.cfg.PC_AREA_SCOPE
+                           if cfg.PC_REDUCE_BY_RANGE else None))
+        if native is not None:
+            pts_rect, pts_intensity, pts_xy = native
+        else:
+            pts_lidar = self.get_lidar(sample_id)
+            pts_rect = calib.lidar_to_rect(pts_lidar[:, 0:3])
+            pts_img, pts_depth = calib.rect_to_img(pts_rect)
+            valid = self._valid_flag(pts_rect, pts_img, pts_depth,
+                                     img_shape)
+            pts_rect = pts_rect[valid]
+            pts_intensity = pts_lidar[valid, 3]
+            pts_xy = pts_img[valid]
 
         # near/far sampling at 40 m (kitti_dataset.py:231-247)
         if self.npoints < len(pts_rect):
