@@ -1,0 +1,25 @@
+"""Pallas FPS kernel parity vs the XLA scan implementation (interpret mode
+on the CPU test backend; the real kernel path is exercised on TPU by
+/verify and bench)."""
+
+import numpy as np
+import pytest
+
+from jmodt_tpu.ops.pallas.fps import farthest_point_sample_pallas
+from jmodt_tpu.ops.sampling import farthest_point_sample
+
+
+@pytest.mark.parametrize('n,npoint', [(256, 64), (512, 128)])
+def test_matches_xla_scan(rng, n, npoint):
+    xyz = rng.randn(2, n, 3).astype(np.float32) * 5
+    want = np.asarray(farthest_point_sample(xyz, npoint))
+    got = np.asarray(farthest_point_sample_pallas(xyz, npoint,
+                                                  interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_first_index_is_zero(rng):
+    xyz = rng.randn(1, 256, 3).astype(np.float32)
+    got = np.asarray(farthest_point_sample_pallas(xyz, 32, interpret=True))
+    assert got[0, 0] == 0
+    assert len(set(got[0].tolist())) == 32  # distinct picks
