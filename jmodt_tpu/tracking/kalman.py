@@ -79,3 +79,63 @@ class Kalman:
 
     def get_predicted_box(self) -> np.ndarray:
         return (_F @ self.x)[:7]
+
+
+class KalmanPSR:
+    """Position/size/rotation variant with full 3-axis rotation state
+    [px, py, pz, sx, sy, sz, rx, ry, rz, vx, vy, vz] (port of the
+    reference's unused KalmanPSR, kalman.py:107-203)."""
+
+    _DX, _DZ = 12, 9
+
+    def __init__(self, psr: np.ndarray):
+        self.F = np.eye(self._DX)
+        self.F[0, 9] = self.F[1, 10] = self.F[2, 11] = 1.0
+        self.H = np.eye(self._DZ, self._DX)
+        self.x = np.zeros(self._DX)
+        self.x[:9] = np.asarray(psr, np.float64).reshape(9)
+        self.P = np.eye(self._DX) * 10.0
+        self.P[9:, 9:] *= 1000.0
+        self.Q = np.eye(self._DX)
+        self.Q[9:, 9:] *= 0.01
+        self.R = np.eye(self._DZ)
+
+    @staticmethod
+    def _rotation_correction(rot: np.ndarray) -> np.ndarray:
+        for i in range(3):
+            if rot[i] >= np.pi:
+                rot[i] -= 2 * np.pi
+            elif rot[i] < -np.pi:
+                rot[i] += 2 * np.pi
+        return rot
+
+    def _rotation_acute_correction(self, psr: np.ndarray) -> None:
+        for i in (6, 7, 8):
+            if np.pi / 2.0 < abs(psr[i] - self.x[i]) < np.pi * 3 / 2.0:
+                self.x[i] = _wrap(self.x[i] + np.pi)
+            if abs(psr[i] - self.x[i]) >= np.pi * 3 / 2.0:
+                self.x[i] += 2 * np.pi if psr[i] > 0 else -2 * np.pi
+
+    def predict(self, t: int = 1) -> np.ndarray:
+        for _ in range(int(t)):
+            self.x = self.F @ self.x
+            self.P = self.F @ self.P @ self.F.T + self.Q
+        self.x[6:9] = self._rotation_correction(self.x[6:9])
+        return self.x[:9].copy()
+
+    def update(self, psr: np.ndarray) -> None:
+        z = np.asarray(psr, np.float64).reshape(9).copy()
+        z[6:9] = self._rotation_correction(z[6:9])
+        self._rotation_acute_correction(z)
+        y = z - self.H @ self.x
+        s = self.H @ self.P @ self.H.T + self.R
+        k = self.P @ self.H.T @ np.linalg.inv(s)
+        self.x = self.x + k @ y
+        self.P = (np.eye(self._DX) - k @ self.H) @ self.P
+        self.x[6:9] = self._rotation_correction(self.x[6:9])
+
+    def get_box(self) -> np.ndarray:
+        return self.x[:9].copy()
+
+    def get_predicted_box(self) -> np.ndarray:
+        return (self.F @ self.x)[:9]

@@ -1,5 +1,6 @@
-"""Runtime utilities: compilation cache, logging, checkpointing."""
+"""Runtime utilities: compilation cache, profiling, logging, checkpointing."""
 
-from jmodt_tpu.utils.runtime import enable_compilation_cache
+from jmodt_tpu.utils.runtime import (annotate, enable_compilation_cache,
+                                     profile_trace)
 
-__all__ = ['enable_compilation_cache']
+__all__ = ['enable_compilation_cache', 'profile_trace', 'annotate']

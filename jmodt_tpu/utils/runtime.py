@@ -20,3 +20,35 @@ def enable_compilation_cache(path: str | None = None) -> None:
     jax.config.update('jax_compilation_cache_dir', cache_dir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
+
+class profile_trace:
+    """Context manager around `jax.profiler` tracing — the observability
+    upgrade over the reference's wall-clock-only timing
+    (tools/eval.py:387-400).  View with TensorBoard or Perfetto.
+
+    Usage::
+
+        with profile_trace('/tmp/jmodt-trace'):
+            run_frames()
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        jax.profiler.stop_trace()
+        return False
+
+
+def annotate(name: str):
+    """Named trace region (jax.profiler.TraceAnnotation) for host-side
+    phases of the pipeline (data loading, solvers, file IO)."""
+    import jax
+    return jax.profiler.TraceAnnotation(name)
