@@ -89,6 +89,10 @@ class RPNConfig:
     LOSS_WEIGHT: Tuple[float, ...] = (1.0, 1.0)
     NMS_TYPE: str = 'normal'  # normal | rotate
     SCORE_THRESH: float = 0.2
+    # rematerialize SA/FP blocks in the backward pass: the ball-query
+    # neighborhood tensors dominate training HBM (O(M*N) per level);
+    # recomputing them trades cheap VPU work for gigabytes of residuals
+    REMAT: bool = True
 
 
 @dataclass(frozen=True)

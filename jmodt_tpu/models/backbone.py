@@ -92,15 +92,22 @@ class PointNet2MSG(nn.Module):
         img_levels = []
         img = image
 
+        # remat: recompute SA internals (ball-query masks, grouped
+        # neighborhoods) in the backward pass instead of saving them
+        sa_cls = (nn.remat(SAModuleMSG, static_argnums=(3,))
+                  if cfg.RPN.REMAT else SAModuleMSG)
+        fp_cls = (nn.remat(FPModule, static_argnums=(5,))
+                  if cfg.RPN.REMAT else FPModule)
+
         for k in range(len(sa_cfg.NPOINTS)):
-            li_xyz, li_feat, li_idx = SAModuleMSG(
+            li_xyz, li_feat, li_idx = sa_cls(
                 npoint=sa_cfg.NPOINTS[k],
                 radii=sa_cfg.RADIUS[k],
                 nsamples=sa_cfg.NSAMPLE[k],
                 mlps=sa_specs[k],
                 use_xyz=self.use_xyz,
                 use_bn=cfg.RPN.USE_BN,
-                name=f'sa_{k}')(l_xyz[k], l_features[k], train=train)
+                name=f'sa_{k}')(l_xyz[k], l_features[k], train)
 
             if use_fusion:
                 li_xy = jnp.take_along_axis(
@@ -120,13 +127,13 @@ class PointNet2MSG(nn.Module):
 
         # FP stack, finest-last iteration order (backbone.py:182-185)
         n_fp = len(cfg.RPN.FP_MLPS)
-        fp_modules = [FPModule(mlp=tuple(cfg.RPN.FP_MLPS[k]),
-                               use_bn=cfg.RPN.USE_BN, name=f'fp_{k}')
+        fp_modules = [fp_cls(mlp=tuple(cfg.RPN.FP_MLPS[k]),
+                             use_bn=cfg.RPN.USE_BN, name=f'fp_{k}')
                       for k in range(n_fp)]
         for i in range(-1, -(n_fp + 1), -1):
             l_features[i - 1] = fp_modules[i](
                 l_xyz[i - 1], l_xyz[i], l_features[i - 1], l_features[i],
-                train=train)
+                train)
 
         if use_fusion:
             img_full = ImagePyramidFusion(

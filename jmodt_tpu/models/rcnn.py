@@ -111,15 +111,17 @@ class RCNN(nn.Module):
             feats = pts_input[..., 3:]
 
         l_xyz, l_feats = xyz, feats
+        sa_cls = (nn.remat(SAModuleMSG, static_argnums=(3,))
+                  if cfg.RPN.REMAT else SAModuleMSG)
         for k in range(len(rc.SA_CONFIG.NPOINTS)):
             npoint = rc.SA_CONFIG.NPOINTS[k]
-            l_xyz, l_feats, _ = SAModuleMSG(
+            l_xyz, l_feats, _ = sa_cls(
                 npoint=npoint if npoint != -1 else None,
                 radii=(rc.SA_CONFIG.RADIUS[k],),
                 nsamples=(rc.SA_CONFIG.NSAMPLE[k],),
                 mlps=(tuple(rc.SA_CONFIG.MLPS[k]),),
                 use_xyz=self.use_xyz, use_bn=rc.USE_BN,
-                name=f'sa_{k}')(l_xyz, l_feats, train=train)
+                name=f'sa_{k}')(l_xyz, l_feats, train)
         feat_vec = l_feats[:, 0, :]  # (R, 512): GroupAll leaves one group
 
         rcnn_cls = HeadMLP(rc.CLS_FC, 1, use_bn=rc.USE_BN,

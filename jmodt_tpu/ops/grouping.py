@@ -44,9 +44,19 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
 
     def per_batch(args):
         pts, queries = args  # (N, 3), (Mp, 3)
+        # squared distances via the matmul identity |q|^2 + |p|^2 - 2 q.p:
+        # 3x less HBM traffic than materializing (chunk, N, 3) differences,
+        # and the contraction rides the MXU.  Coordinates are zero-padded to
+        # 8 dims — sub-8 contractions fall off the MXU fast path.
+        pts8 = jnp.pad(pts, ((0, 0), (0, 5)))
+        p_sq = jnp.sum(pts * pts, axis=-1)  # (N,)
 
         def per_block(q_block):  # (chunk, 3)
-            d2 = jnp.sum((q_block[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+            q8 = jnp.pad(q_block, ((0, 0), (0, 5)))
+            q_sq = jnp.sum(q_block * q_block, axis=-1)
+            d2 = (q_sq[:, None] + p_sq[None, :]
+                  - 2.0 * jnp.dot(q8, pts8.T,
+                                  preferred_element_type=jnp.float32))
             in_rad = d2 < r2
             key = jnp.where(in_rad, jnp.arange(n, dtype=jnp.int32)[None, :], n)
             # nsample smallest keys = first hits in point order

@@ -32,9 +32,17 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048):
 
     def per_batch(args):
         u, k = args  # (Np, 3), (M, 3)
+        # matmul-identity distances (see ops/grouping.py::ball_query)
+        k8 = jnp.pad(k, ((0, 0), (0, 5)))
+        k_sq = jnp.sum(k * k, axis=-1)
 
         def per_block(u_block):
-            d2 = jnp.sum((u_block[:, None, :] - k[None, :, :]) ** 2, axis=-1)
+            u8 = jnp.pad(u_block, ((0, 0), (0, 5)))
+            u_sq = jnp.sum(u_block * u_block, axis=-1)
+            d2 = (u_sq[:, None] + k_sq[None, :]
+                  - 2.0 * jnp.dot(u8, k8.T,
+                                  preferred_element_type=jnp.float32))
+            d2 = jnp.maximum(d2, 0.0)  # guard tiny negatives from rounding
             neg, idx = jax.lax.top_k(-d2, 3)
             return -neg, idx.astype(jnp.int32)
 
