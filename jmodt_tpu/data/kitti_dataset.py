@@ -85,7 +85,8 @@ class KittiDataset:
                  challenge: str = 'tracking',
                  fixed_img_size=(384, 1280), cfg: Optional[Config] = None,
                  max_gt: int = 32, rpn_labels: Optional[bool] = None,
-                 seed: int = 0, use_native: bool = True):
+                 seed: int = 0, use_native: bool = True,
+                 raw_uint8_images: bool = False):
         assert mode in ('TRAIN', 'EVAL', 'TEST'), f'invalid mode {mode}'
         self.cfg = cfg or Config()
         self.split = split
@@ -99,6 +100,9 @@ class KittiDataset:
         self.rpn_labels = (not self.cfg.RPN.FIXED if rpn_labels is None
                            else rpn_labels)
         self.use_native = use_native
+        # ship raw uint8 images and normalize on device
+        # (jmodt_tpu/models/inference.py) — 4x less host->device traffic
+        self.raw_uint8_images = raw_uint8_images
 
         is_test = split == 'test'
         sub = 'object' if challenge == 'detection' else 'tracking_object'
@@ -145,12 +149,18 @@ class KittiDataset:
     # ---------------- raw readers ----------------
 
     def get_normalized_image(self, idx: int) -> np.ndarray:
-        """ImageNet-normalized image zero-padded to fixed size
-        (kitti_dataset.py:94-110)."""
+        """Image zero-padded to fixed size (kitti_dataset.py:94-110);
+        ImageNet-normalized f32 by default, raw uint8 when
+        raw_uint8_images (device-side normalization path)."""
         from PIL import Image
         img_file = os.path.join(self.image_dir, '%06d.png' % idx)
-        img = np.asarray(Image.open(img_file).convert('RGB'),
-                         np.float32) / 255.0
+        raw = np.asarray(Image.open(img_file).convert('RGB'), np.uint8)
+        if self.raw_uint8_images:
+            fixed = np.zeros((*self.fixed_img_size, 3), np.uint8)
+            fixed[:raw.shape[0], :raw.shape[1]] = \
+                raw[:self.fixed_img_size[0], :self.fixed_img_size[1]]
+            return fixed
+        img = raw.astype(np.float32) / 255.0
         img = (img - _IMAGENET_MEAN) / _IMAGENET_STD
         fixed = np.zeros((*self.fixed_img_size, 3), np.float32)
         fixed[:img.shape[0], :img.shape[1]] = \

@@ -73,7 +73,8 @@ def eval_joint_detection(args, cfg, logger):
         dataset = KittiDataset(
             root_dir=args.data_root, npoints=cfg.RPN.NUM_POINTS,
             split=split, mode=mode, classes=cfg.CLASSES,
-            challenge='tracking', logger=logger, cfg=cfg)
+            challenge='tracking', logger=logger, cfg=cfg,
+            raw_uint8_images=True)
         sample_ids = list(dataset.sample_id_list)
 
         def frames():

@@ -70,6 +70,10 @@ def main():
     parser.add_argument('--train_with_eval', action='store_true')
     parser.add_argument('--data_parallel', action='store_true',
                         help='shard the batch over all local devices')
+    parser.add_argument('--multihost', action='store_true',
+                        help='initialize jax.distributed for multi-host '
+                             'data parallelism over DCN (beyond reference '
+                             'parity; coordinator from env vars)')
     parser.add_argument('--small', action='store_true',
                         help='miniature config for smoke runs')
     parser.add_argument('--synthetic_pairs', type=int, default=16,
@@ -78,6 +82,8 @@ def main():
                         nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
+    if args.multihost:
+        jax.distributed.initialize()
     enable_compilation_cache()
     os.makedirs(args.output_dir, exist_ok=True)
     logger = create_logger(os.path.join(args.output_dir, 'train.log'))
