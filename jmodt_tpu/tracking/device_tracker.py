@@ -304,6 +304,36 @@ def make_device_tracker_step(link_apply: Callable, t_miss: int = 2,
     return jax.jit(step) if jit else step
 
 
+def make_batched_tracker_step(link_apply: Callable, **kw) -> Callable:
+    """vmap the per-frame step over a leading SEQUENCE axis: S independent
+    sequences advance in lockstep on one chip.
+
+    The reference evaluates KITTI's 10 val sequences serially
+    (tools/eval.py:351-397); with the tracker state living on device and
+    all shapes fixed, batching sequences is just a vmap — offline
+    evaluation throughput scales with S at near-zero cost.  Sequences of
+    different lengths pad with empty frames (det_mask all False), which
+    the step treats as a no-op (reference `num_det == 0` early return).
+
+    step(states, frame_ids (S,), det_boxes (S, D, 7), det_scores (S, D),
+         det_feats (S, D, C), det_mask (S, D), link_params)
+        -> (states, outputs)   with every state/output leaf gaining a
+        leading S axis (build states with `init_batched_state`).
+    """
+    step = make_device_tracker_step(link_apply, jit=False, **kw)
+    return jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, 0, 0, None)))
+
+
+def init_batched_state(n_seqs: int, max_tracks: int,
+                       feat_dim: int) -> TrackerState:
+    """A TrackerState with a leading sequence axis for
+    make_batched_tracker_step."""
+    s = init_state(max_tracks, feat_dim)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                   (n_seqs,) + jnp.asarray(x).shape), s)
+
+
 class DeviceTracker:
     """Convenience wrapper matching the host Tracker's update() signature,
     with the state held on device.  `flush_every` controls how often host
