@@ -149,6 +149,14 @@ def test_converter_and_dataset(fake_kitti):
     # gt boxes present, in range
     assert (np.abs(batch['gt_boxes3d'][0]).sum(axis=1) > 0).sum() == 2
 
+    # raw uint8 image path (device-side normalization)
+    ds_u8 = KittiDataset(str(fake_kitti), npoints=512, split='small_val',
+                         mode='TRAIN', cfg=cfg, max_gt=8,
+                         fixed_img_size=(64, 128), raw_uint8_images=True)
+    s_u8 = ds_u8[0][0]
+    assert s_u8['img'].dtype == np.uint8
+    assert s_u8['img'].shape == (64, 128, 3)
+
     # eval mode: flat sample list
     ds_eval = KittiDataset(str(fake_kitti), npoints=512, split='val',
                            mode='EVAL', cfg=cfg, max_gt=8,

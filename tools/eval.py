@@ -210,11 +210,24 @@ def eval_tracking(args, cfg, logger):
     def se_apply(x):
         return se_head.apply({'params': rcnn_params['se_layer']}, x)
 
-    car_tracker = Tracker(link_apply, se_apply, t_miss=t_miss, t_hit=t_hit,
-                          w_cls=w_cls, w_app=w_app, w_iou=w_iou, w_dis=w_dis,
-                          w_se=w_se, hungarian=args.hungarian,
-                          score_thresh=score_thresh,
-                          match_thresh=match_thresh)
+    if args.device_tracker:
+        # fully on-device fast path (greedy assignment; see
+        # jmodt_tpu/tracking/device_tracker.py for semantics)
+        from jmodt_tpu.tracking.device_tracker import DeviceTracker
+        feat_dim = cfg.RCNN.SA_CONFIG.MLPS[-1][-1]
+        car_tracker = DeviceTracker(
+            lambda p, x: link_head.apply({'params': p}, x),
+            rcnn_params['link_layer'], feat_dim=feat_dim,
+            t_miss=t_miss, t_hit=t_hit, w_app=w_app, w_iou=w_iou,
+            w_dis=w_dis, score_thresh=cls_thresh,
+            match_thresh=match_thresh)
+    else:
+        car_tracker = Tracker(link_apply, se_apply, t_miss=t_miss,
+                              t_hit=t_hit, w_cls=w_cls, w_app=w_app,
+                              w_iou=w_iou, w_dis=w_dis, w_se=w_se,
+                              hungarian=args.hungarian,
+                              score_thresh=score_thresh,
+                              match_thresh=match_thresh)
 
     if args.data_root:
         from jmodt_tpu.data.converter import (read_sample2frame,
@@ -262,9 +275,19 @@ def eval_tracking(args, cfg, logger):
                 frame_id = int(sample2frame[sample_id][1])
 
                 t0 = time.perf_counter()
-                results = car_tracker.update(frame_id, boxes, scores,
-                                             feats, objs)
-                total_time += time.perf_counter() - t0
+                if args.device_tracker:
+                    out = car_tracker.update(frame_id, boxes, scores, feats)
+                    total_time += time.perf_counter() - t0
+                    out = {k: np.asarray(v) for k, v in out.items()}
+                    results = [
+                        (int(out['tid'][i]), objs[int(out['det_idx'][i])],
+                         float(out['score'][i]))
+                        for i in np.flatnonzero(out['emit'])
+                        if 0 <= int(out['det_idx'][i]) < len(objs)]
+                else:
+                    results = car_tracker.update(frame_id, boxes, scores,
+                                                 feats, objs)
+                    total_time += time.perf_counter() - t0
                 total_frames += 1
                 save_kitti_tracking_format(results, frame_id, out_file)
     fps = total_frames / total_time if total_time > 0 else float('nan')
@@ -286,6 +309,10 @@ def main():
     parser.add_argument('--ckpt', type=str, default=None)
     parser.add_argument('--tag', type=str, default='mot_data')
     parser.add_argument('--hungarian', action='store_true')
+    parser.add_argument('--device_tracker', action='store_true',
+                        help='use the fully on-device tracker (greedy '
+                             'assignment fast path) instead of the host '
+                             'MIP/Hungarian parity path')
     parser.add_argument('--only_tracking', action='store_true')
     parser.add_argument('--test', action='store_true')
     parser.add_argument('--synthetic_frames', type=int, default=8)
