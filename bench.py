@@ -81,6 +81,7 @@ def main():
     n_rows = int((last[:, 9] > 0.5).sum())
     assert np.isfinite(last).all()
     assert n_rows > 0, 'tracker emitted no rows'
+
     print(json.dumps({
         'metric': 'detect_plus_track_ms_per_frame',
         'value': round(dt * 1e3, 3),
