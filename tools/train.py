@@ -148,12 +148,17 @@ def main():
     state, tx = create_train_state(cfg, variables, steps_per_epoch)
     if args.ckpt:
         opt_template = state.opt_state if cfg.TRAIN.RELOAD_OPTIMIZER else None
-        variables, opt_state, it, start_epoch = load_checkpoint(
+        variables, opt_state, ckpt_it, ckpt_epoch = load_checkpoint(
             args.ckpt, variables, opt_template, log=logger)
         state, tx = create_train_state(cfg, variables, steps_per_epoch)
-        if opt_state is not None:
-            state = state.replace(opt_state=opt_state,
-                                  step=np.int32(it))
+        if cfg.TRAIN.RELOAD_OPTIMIZER:
+            # resume: restore optimizer and continue from the saved epoch
+            # (reference tools/train.py:108-111); otherwise the checkpoint
+            # only seeds the weights (finetune bootstrap, :112-113)
+            it, start_epoch = ckpt_it, ckpt_epoch
+            if opt_state is not None:
+                state = state.replace(opt_state=opt_state,
+                                      step=np.int32(it))
 
     tb_log = None
     try:
