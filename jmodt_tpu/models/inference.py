@@ -82,9 +82,16 @@ def make_detection_step(cfg: Config, model: PointRCNN, jit: bool = True):
 
         boxes, scores, feats, keep = jax.vmap(per_frame)(
             pred_boxes, raw_scores, norm_scores, rcnn_feat, inds)
+        # 'packed' concatenates everything a consumer needs per detection
+        # into ONE buffer — on hosts where each device->host fetch has
+        # high fixed latency, reading one array instead of four is the
+        # difference between ~40 ms and ~150+ ms per frame
+        packed = jnp.concatenate([
+            boxes, scores[..., None], keep.astype(boxes.dtype)[..., None],
+            feats], axis=-1)
         return {'boxes': boxes, 'scores': scores, 'feats': feats,
                 'keep': keep, 'rois': rois, 'roi_mask': out['roi_mask'],
-                'seg_result': out['seg_result']}
+                'seg_result': out['seg_result'], 'packed': packed}
 
     # jit only at the API boundary: a nested pjit inside an outer scan/jit
     # becomes a separate XLA computation call, which this relay executes
@@ -98,7 +105,6 @@ def make_recall_fn(max_gt: int = 32, max_det: int = 128):
     refined boxes and by the raw RoIs."""
     thresh = jnp.array([0.1, 0.3, 0.5, 0.7, 0.9])
 
-    @jax.jit
     def recall(pred_boxes, pred_mask, roi_boxes, roi_mask, gt_boxes,
                gt_mask):
         iou = boxes_iou3d(pred_boxes, gt_boxes)
@@ -113,6 +119,21 @@ def make_recall_fn(max_gt: int = 32, max_det: int = 128):
         roi_recalled = jnp.sum((gt_max_roi[None, :] > thresh[:, None])
                                & gt_mask[None, :], axis=1)
         return recalled, roi_recalled, jnp.sum(gt_mask)
+
+    recall = jax.jit(recall)
+
+    @jax.jit
+    def accumulate(acc, det_out, gt_boxes):
+        """Device-side accumulator: acc (11,) int32 carries
+        [recalled(5), roi_recalled(5), n_gt] across frames with NO host
+        round trip (fetch once after the loop).  Consumes the detection
+        step's device outputs directly (batch row 0)."""
+        gt_mask = jnp.sum(jnp.abs(gt_boxes), axis=1) > 0
+        r, rr, ng = recall(det_out['boxes'][0], det_out['keep'][0],
+                           det_out['rois'][0], det_out['roi_mask'][0],
+                           gt_boxes, gt_mask)
+        return acc + jnp.concatenate(
+            [r, rr, ng[None]]).astype(jnp.int32)
 
     def host_recall(pred_boxes, roi_boxes, roi_mask, gt_boxes):
         """numpy wrapper padding to fixed shapes."""
@@ -131,4 +152,5 @@ def make_recall_fn(max_gt: int = 32, max_det: int = 128):
         r, rr, ng = recall(pb, pm, rb, rm, gb, gm)
         return np.asarray(r), np.asarray(rr), int(ng)
 
+    host_recall.accumulate = accumulate
     return host_recall

@@ -104,10 +104,12 @@ def eval_joint_detection(args, cfg, logger):
                                             example, logger)
     step = make_detection_step(cfg, model)
     recall_fn = make_recall_fn()
+    max_gt = 32
 
-    total_recalled = np.zeros(5, np.int64)
-    total_roi_recalled = np.zeros(5, np.int64)
-    total_gt = 0
+    # recall counters accumulate ON DEVICE across frames; per frame the
+    # host fetches exactly ONE packed buffer (fetch latency dominates on
+    # tethered hosts — see CLAUDE.md)
+    recall_acc = np.zeros(11, np.int32)
     final_total = 0
     t_infer = 0.0
     n_frames = 0
@@ -116,24 +118,19 @@ def eval_joint_detection(args, cfg, logger):
         t0 = time.perf_counter()
         out = step(variables, data['pts_input'], data['img'],
                    data['pts_xy'])
-        out = jax.tree_util.tree_map(np.asarray, out)
+        if not args.test and 'gt_boxes3d' in data:
+            gt = np.zeros((max_gt, 7), np.float32)
+            g = np.asarray(data['gt_boxes3d'][0])[:max_gt]
+            gt[:len(g)] = g
+            recall_acc = recall_fn.accumulate(recall_acc, out, gt)
+        packed = np.asarray(out['packed'][0])   # the single fetch
         t_infer += time.perf_counter() - t0
         n_frames += 1
 
-        keep = out['keep'][0]
-        boxes = out['boxes'][0][keep]
-        scores = out['scores'][0][keep]
-        feats = out['feats'][0][keep]
-
-        if not args.test and 'gt_boxes3d' in data:
-            gt = np.asarray(data['gt_boxes3d'][0])
-            gt = gt[np.abs(gt).sum(axis=1) > 0]
-            if len(gt):
-                r, rr, ng = recall_fn(boxes, out['rois'][0],
-                                      out['roi_mask'][0], gt)
-                total_recalled += r
-                total_roi_recalled += rr
-                total_gt += ng
+        keep = packed[:, 8] > 0.5
+        boxes = packed[keep, 0:7]
+        scores = packed[keep, 7]
+        feats = packed[keep, 9:]
 
         if len(boxes):
             final_total += save_kitti_detection_format(
@@ -154,6 +151,9 @@ def eval_joint_detection(args, cfg, logger):
     if empty_cnt:
         logger.info('dumped %d empty files', empty_cnt)
 
+    recall_acc = np.asarray(recall_acc)
+    total_recalled, total_roi_recalled = recall_acc[:5], recall_acc[5:10]
+    total_gt = int(recall_acc[10])
     logger.info('---------- performance of epoch %s ----------', epoch_id)
     logger.info('inference: %.1f ms/frame over %d frames',
                 1e3 * t_infer / max(n_frames, 1), n_frames)
