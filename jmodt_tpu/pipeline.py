@@ -149,14 +149,17 @@ class ScanPipeline:
         return done
 
     def flush(self):
-        """Process any buffered tail (padded to a full chunk) and drain."""
+        """Process any buffered tail (padded to a full chunk by repeating
+        the last frame) and drain all results.  Terminal for the current
+        sequence: the pad frames advance the tracker state, so call
+        reset() before streaming another sequence."""
         out = []
         if self._buf:
             n = len(self._buf)
-            while len(self._buf) < self.chunk:  # repeat last frame as pad
-                self._buf.append(self._buf[-1])
-            pad_out = self.push(self._buf[-1][0], *self._buf[-1][1:])
-            out.extend(pad_out)
+            last = self._buf[-1]
+            while len(self._buf) < self.chunk - 1:
+                self._buf.append(last)
+            out.extend(self.push(last[0], *last[1:]))  # completes the chunk
             if self._pending is not None:  # keep only the n real frames
                 fids, packed = self._pending
                 self._pending = (fids[:n], packed[:n])

@@ -71,3 +71,22 @@ def test_scan_pipeline_matches_joint(setup):
         assert [r[0] for r in jrows] == [r[0] for r in srows]
         for (jt, jb, js), (st_, sb, ss) in zip(jrows, srows):
             np.testing.assert_allclose(jb, sb, rtol=1e-4, atol=1e-4)
+
+
+def test_scan_pipeline_ragged_tail(setup):
+    """flush() pads a partial chunk and returns exactly the real frames."""
+    from jmodt_tpu.pipeline import ScanPipeline
+    cfg, model, variables, head, link_p, feat_dim, frames = setup
+    scan = ScanPipeline(cfg, model, variables, head.apply, link_p,
+                        feat_dim=feat_dim, max_tracks=16, track_k=8,
+                        det_score_thresh=0.0, chunk=4)
+    results = []
+    for i in range(6):  # 1 full chunk + 2-frame tail
+        f = frames[i]
+        results.extend(scan.push(i + 1, f['pts_input'], f['img'],
+                                 f['pts_xy']))
+    results.extend(scan.flush())
+    assert [fid for fid, _ in results] == [1, 2, 3, 4, 5, 6]
+    for _, rows in results:
+        for tid, box, score in rows:
+            assert tid > 0 and np.isfinite(box).all()
