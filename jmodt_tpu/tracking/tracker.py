@@ -49,7 +49,13 @@ def make_affinity_fn(link_apply: Callable, se_apply: Callable,
                      w_app: float, w_iou: float, w_dis: float) -> Callable:
     """The per-frame device program.  `link_apply(x)` / `se_apply(x)` map
     (..., C) correlation features to (..., 1) scores (the trained link/se
-    heads, reference tracker.py:86-110)."""
+    heads, reference tracker.py:86-110).
+
+    Note: the apply closures capture their weights, which this relay's
+    executable cache handles poorly when OTHER large programs run in the
+    same process (see CLAUDE.md).  The host tracker is the offline parity
+    path and runs alone in eval stage 2, where this is harmless; the
+    performance path (device_tracker.py) threads params as arguments."""
 
     @jax.jit
     def affinity(pred_feats, det_feats, pred_boxes, det_boxes,
