@@ -314,3 +314,14 @@ def config_from_overrides(base: Config, kv_list: Sequence[str]) -> Config:
 def config_to_dict(cfg: Any) -> dict:
     """Serialize a config tree (for logging / checkpoint metadata)."""
     return dataclasses.asdict(cfg)
+
+
+def print_config_to_log(cfg: Any, logger, prefix: str = 'cfg') -> None:
+    """Dump every config key to the logger (reference print_config_to_log,
+    jmodt/config.py:279-292)."""
+    for f in fields(cfg):
+        value = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(value):
+            print_config_to_log(value, logger, f'{prefix}.{f.name}')
+        else:
+            logger.info('%s.%s: %s', prefix, f.name, value)

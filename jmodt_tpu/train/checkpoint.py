@@ -122,3 +122,13 @@ def load_checkpoint(filename: str, variables_template: Any,
     it = int(state['it']) if state.get('it') is not None else 0
     log.info('==> Done')
     return variables, opt_state, it, epoch
+
+
+def load_part_ckpt(filename: str, variables_template: Any,
+                   log: Optional[logging.Logger] = None) -> Any:
+    """Weights-only partial load (reference load_part_ckpt,
+    train_utils.py:50-66): restore every matching subtree, keep the rest
+    of the template, raise if nothing matched."""
+    variables, _, _, _ = load_checkpoint(filename, variables_template,
+                                         log=log)
+    return variables
