@@ -1,0 +1,95 @@
+"""Loss-library oracle tests: perfect bin-encoded predictions drive each
+regression term to ~zero (reference get_reg_loss, loss_utils.py:91-355),
+plus focal/dice sanity."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from jmodt_tpu.losses import (dice_loss, get_reg_loss, sigmoid_focal_loss,
+                              smooth_l1)
+
+
+def perfect_reg_vector(target, anchor, loc_scope=1.5, loc_bin_size=0.5,
+                       nhb=9):
+    """Encode a target [dx, dy, dz, h, w, l, ry] into the regression layout
+    so that decoding recovers it exactly (hard one-hot bins)."""
+    per_bin = int(loc_scope / loc_bin_size) * 2
+    reg = np.zeros(per_bin * 4 + nhb * 2 + 3 + 1, np.float32)
+    BIG = 30.0
+    for v, bl, rl in ((target[0], 0, per_bin * 2),
+                      (target[2], per_bin, per_bin * 3)):
+        shift = np.clip(v + loc_scope, 0, 2 * loc_scope - 1e-3)
+        b = int(shift / loc_bin_size)
+        res = (shift - (b * loc_bin_size + loc_bin_size / 2)) / loc_bin_size
+        reg[bl + b] = BIG
+        reg[rl + b] = res
+    reg[per_bin * 4] = target[1]  # y offset
+    ang_per = (np.pi / 2) / nhb
+    ry = target[6] % (2 * np.pi)
+    if np.pi * 0.5 < ry < np.pi * 1.5:
+        ry = (ry + np.pi) % (2 * np.pi)
+    shift_angle = np.clip((ry + np.pi * 0.5) % (2 * np.pi) - np.pi * 0.25,
+                          1e-3, np.pi * 0.5 - 1e-3)
+    b = int(shift_angle / ang_per)
+    res = (shift_angle - (b * ang_per + ang_per / 2)) / (ang_per / 2)
+    reg[per_bin * 4 + 1 + b] = BIG
+    reg[per_bin * 4 + 1 + nhb + b] = res
+    reg[per_bin * 4 + 1 + 2 * nhb:] = (target[3:6] - anchor) / anchor
+    return reg
+
+
+def test_perfect_prediction_near_zero_loss():
+    anchor = np.array([1.52, 1.63, 3.88], np.float32)
+    rng = np.random.RandomState(0)
+    n = 16
+    targets = np.zeros((n, 7), np.float32)
+    targets[:, 0] = rng.uniform(-1.2, 1.2, n)
+    targets[:, 1] = rng.uniform(-0.3, 0.3, n)
+    targets[:, 2] = rng.uniform(-1.2, 1.2, n)
+    targets[:, 3:6] = anchor * rng.uniform(0.95, 1.05, (n, 3))
+    targets[:, 6] = rng.uniform(-np.pi / 4 + 0.05, np.pi / 4 - 0.05, n)
+    reg = np.stack([perfect_reg_vector(t, anchor) for t in targets])
+
+    out = get_reg_loss(
+        cls_score=jnp.ones(n), pred_reg=jnp.asarray(reg),
+        reg_label=jnp.asarray(targets), fg_mask=jnp.ones(n, bool),
+        loc_scope=1.5, loc_bin_size=0.5, num_head_bin=9,
+        anchor_size=jnp.asarray(anchor), get_ry_fine=True,
+        use_cls_score=True, iou_loss_type='raw')
+    # CE against a BIG-logit one-hot -> ~0; residuals exact -> 0
+    assert float(out.loc_loss) < 1e-3
+    assert float(out.angle_loss) < 1e-3
+    assert float(out.size_loss) < 1e-6
+    # perfect boxes: IoU ~1 -> -log(iou) ~ 0
+    assert float(out.iou_loss) < 1e-2
+
+    # corrupting the predictions must raise every term
+    bad = get_reg_loss(
+        cls_score=jnp.ones(n),
+        pred_reg=jnp.asarray(reg + rng.randn(*reg.shape).astype(np.float32)),
+        reg_label=jnp.asarray(targets), fg_mask=jnp.ones(n, bool),
+        loc_scope=1.5, loc_bin_size=0.5, num_head_bin=9,
+        anchor_size=jnp.asarray(anchor), get_ry_fine=True,
+        use_cls_score=True, iou_loss_type='raw')
+    assert float(bad.loc_loss) > float(out.loc_loss)
+    assert float(bad.size_loss) > float(out.size_loss)
+
+
+def test_focal_loss_downweights_easy():
+    logits = jnp.asarray([8.0, 0.0])   # easy positive, hard positive
+    targets = jnp.asarray([1.0, 1.0])
+    w = jnp.ones(2)
+    loss = np.asarray(sigmoid_focal_loss(logits, targets, w))
+    assert loss[0] < loss[1] * 1e-3  # easy example nearly free
+
+
+def test_dice_loss_extremes():
+    logits = jnp.asarray([20.0, -20.0, 20.0])
+    assert float(dice_loss(logits, jnp.asarray([1.0, 0.0, 1.0]))) < 1e-3
+    assert float(dice_loss(logits, jnp.asarray([0.0, 1.0, 0.0]))) > 0.99
+
+
+def test_smooth_l1_branches():
+    d = jnp.asarray([0.5, 2.0])
+    np.testing.assert_allclose(np.asarray(smooth_l1(d, jnp.zeros(2))),
+                               [0.125, 1.5])
