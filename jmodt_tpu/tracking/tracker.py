@@ -47,21 +47,21 @@ def _pad2(x: np.ndarray, n: int) -> np.ndarray:
 
 def make_affinity_fn(link_apply: Callable, se_apply: Callable,
                      w_app: float, w_iou: float, w_dis: float) -> Callable:
-    """The per-frame device program.  `link_apply(x)` / `se_apply(x)` map
-    (..., C) correlation features to (..., 1) scores (the trained link/se
-    heads, reference tracker.py:86-110).
+    """The per-frame device program.  `link_apply(link_params, x)` /
+    `se_apply(se_params, x)` map (..., C) correlation features to (..., 1)
+    scores (the trained link/se heads, reference tracker.py:86-110).
 
-    Note: the apply closures capture their weights, which this relay's
-    executable cache handles poorly when OTHER large programs run in the
-    same process (see CLAUDE.md).  The host tracker is the offline parity
-    path and runs alone in eval stage 2, where this is harmless; the
-    performance path (device_tracker.py) threads params as arguments."""
+    Params are runtime ARGUMENTS, never closure captures: a captured weight
+    becomes a hoisted executable constant, which this relay's executable
+    cache handles poorly when other large programs run in the same process
+    (CLAUDE.md program-poison rule #2).  Same convention as the performance
+    path (device_tracker.py)."""
 
     @jax.jit
-    def affinity(pred_feats, det_feats, pred_boxes, det_boxes,
-                 pred_mask, det_mask):
+    def affinity(link_params, se_params, pred_feats, det_feats,
+                 pred_boxes, det_boxes, pred_mask, det_mask):
         cor = jnp.abs(pred_feats[:, None, :] - det_feats[None, :, :])
-        link_raw = link_apply(cor)[..., 0]
+        link_raw = link_apply(link_params, cor)[..., 0]
         link = masked_bidirectional_softmax(link_raw, pred_mask, det_mask)
         iou = boxes_iou3d(pred_boxes, det_boxes)
         dis = boxes_center_dist_affinity(pred_boxes, det_boxes)
@@ -75,22 +75,26 @@ def make_affinity_fn(link_apply: Callable, se_apply: Callable,
                       / jnp.clip(jnp.sum(pw), 1.0, None))   # (D, C)
         end_feat = (jnp.sum(cor * dw[None, :, None], axis=1)
                     / jnp.clip(jnp.sum(dw), 1.0, None))     # (P, C)
-        start = jax.nn.sigmoid(se_apply(start_feat)[..., 0])
-        end = jax.nn.sigmoid(se_apply(end_feat)[..., 0])
+        start = jax.nn.sigmoid(se_apply(se_params, start_feat)[..., 0])
+        end = jax.nn.sigmoid(se_apply(se_params, end_feat)[..., 0])
         return combined, start, end
 
     return affinity
 
 
 class Tracker:
-    """Reference Tracker (tracker.py:8-143).  `link_apply`/`se_apply` take
-    (..., C) features and return (..., 1) raw scores."""
+    """Reference Tracker (tracker.py:8-143).  `link_apply(link_params, x)` /
+    `se_apply(se_params, x)` take (..., C) features and return (..., 1) raw
+    scores; params are threaded through every device call as arguments."""
 
     def __init__(self, link_apply: Callable, se_apply: Callable,
+                 link_params=None, se_params=None,
                  t_miss: int = 2, t_hit: int = 0, w_cls: float = 100.0,
                  w_app: float = 2.0, w_iou: float = 10.0, w_dis: float = 10.0,
                  w_se: float = 1.0, hungarian: bool = False,
                  score_thresh: float = 0.0, match_thresh: float = 0.0):
+        self.link_params = link_params
+        self.se_params = se_params
         self.t_miss = t_miss
         self.t_hit = t_hit
         self.w_cls = w_cls
@@ -160,6 +164,7 @@ class Tracker:
         pred_mask = np.arange(p_pad) < num_pred
         det_mask = np.arange(d_pad) < num_det
         combined, start, end = self._affinity(
+            self.link_params, self.se_params,
             _pad2(pred_feats, p_pad), _pad2(det_features, d_pad),
             _pad2(pred_boxes, p_pad), _pad2(boxes_3d.astype(np.float32), d_pad),
             pred_mask, det_mask)

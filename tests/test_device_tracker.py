@@ -123,9 +123,8 @@ def test_matches_host_tracker_on_easy_sequence():
     apply_fn, params = make_link()
     dev = DeviceTracker(apply_fn, params, feat_dim=32, max_tracks=16,
                         max_dets=8, score_thresh=0.85)
-    host_link = lambda x: apply_fn(params, x)
-    host = Tracker(host_link, host_link, t_miss=2, t_hit=0, hungarian=True,
-                   score_thresh=0.85)
+    host = Tracker(apply_fn, apply_fn, params, params,
+                   t_miss=2, t_hit=0, hungarian=True, score_thresh=0.85)
     feats = np.random.RandomState(3).randn(3, 32).astype(np.float32)
     for t in range(5):
         boxes = moving_boxes(t, n=3)

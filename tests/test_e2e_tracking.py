@@ -86,8 +86,7 @@ def run_tracking_stage(base, hungarian):
     head = CorrelationHead(hidden=(32, 32))
     p1 = head.init(jax.random.PRNGKey(0), np.zeros((1, 64), np.float32))
     p2 = head.init(jax.random.PRNGKey(1), np.zeros((1, 64), np.float32))
-    tracker = Tracker(lambda x: head.apply(p1, x),
-                      lambda x: head.apply(p2, x),
+    tracker = Tracker(head.apply, head.apply, p1, p2,
                       t_miss=2, t_hit=0, hungarian=hungarian,
                       score_thresh=0.85)
     out_dir = base / 'results' / 'sha' / 'val'

@@ -18,14 +18,16 @@ def fresh_track_ids():
 
 
 def make_heads(seed=0, c=32):
-    """Random link/se correlation heads (flax) as plain apply closures."""
+    """Random link/se correlation heads (flax); returns the shared apply fn
+    (params, x) plus each head's params — the Tracker threads params as
+    runtime arguments (never closure captures)."""
     import jax
     from jmodt_tpu.models.rcnn import CorrelationHead
     head = CorrelationHead(hidden=(16, 16))
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     link_p = head.init(k1, np.zeros((1, c), np.float32))
     se_p = head.init(k2, np.zeros((1, c), np.float32))
-    return (lambda x: head.apply(link_p, x)), (lambda x: head.apply(se_p, x))
+    return head.apply, link_p, se_p
 
 
 def moving_boxes(t, n=2):
@@ -99,8 +101,8 @@ def test_mip_prefers_new_track_over_bad_link():
 
 @pytest.mark.parametrize('hungarian', [False, True])
 def test_tracker_stable_ids_over_sequence(hungarian):
-    link_fn, se_fn = make_heads(c=32)
-    trk = Tracker(link_fn, se_fn, t_miss=2, t_hit=0, hungarian=hungarian,
+    apply, link_p, se_p = make_heads(c=32)
+    trk = Tracker(apply, apply, link_p, se_p, t_miss=2, t_hit=0, hungarian=hungarian,
                   score_thresh=0.85)
     feats = np.random.RandomState(3).randn(2, 32).astype(np.float32)
     ids_per_frame = []
@@ -115,8 +117,8 @@ def test_tracker_stable_ids_over_sequence(hungarian):
 
 
 def test_tracker_handles_miss_and_prune():
-    link_fn, se_fn = make_heads(c=32)
-    trk = Tracker(link_fn, se_fn, t_miss=2, t_hit=0, score_thresh=0.85)
+    apply, link_p, se_p = make_heads(c=32)
+    trk = Tracker(apply, apply, link_p, se_p, t_miss=2, t_hit=0, score_thresh=0.85)
     feats = np.random.RandomState(3).randn(2, 32).astype(np.float32)
     trk.update(1, moving_boxes(0), np.array([0.95, 0.95]), feats, ['a', 'b'])
     # frame 2: object 1 missing -> its track survives (misses=1 < t_miss)
@@ -141,15 +143,15 @@ def test_tracker_handles_miss_and_prune():
 
 
 def test_tracker_empty_frame_returns_nothing():
-    link_fn, se_fn = make_heads(c=32)
-    trk = Tracker(link_fn, se_fn)
+    apply, link_p, se_p = make_heads(c=32)
+    trk = Tracker(apply, apply, link_p, se_p)
     assert trk.update(1, np.zeros((0, 7)), np.zeros(0),
                       np.zeros((0, 32)), []) == []
 
 
 def test_tracker_reset():
-    link_fn, se_fn = make_heads(c=32)
-    trk = Tracker(link_fn, se_fn)
+    apply, link_p, se_p = make_heads(c=32)
+    trk = Tracker(apply, apply, link_p, se_p)
     feats = np.random.RandomState(0).randn(2, 32).astype(np.float32)
     trk.update(1, moving_boxes(0), np.array([0.9, 0.9]), feats, ['a', 'b'])
     trk.reset()

@@ -204,11 +204,11 @@ def eval_tracking(args, cfg, logger):
     link_head = CorrelationHead(cfg.REID.LINK_FC, use_bn=cfg.REID.USE_BN)
     se_head = CorrelationHead(cfg.REID.SE_FC, use_bn=cfg.REID.USE_BN)
 
-    def link_apply(x):
-        return link_head.apply({'params': rcnn_params['link_layer']}, x)
-
-    def se_apply(x):
-        return se_head.apply({'params': rcnn_params['se_layer']}, x)
+    # apply fns take (params, x): the trackers thread the head weights as
+    # runtime arguments so no device call closure-captures them (CLAUDE.md
+    # program-poison rule #2)
+    link_params = {'params': rcnn_params['link_layer']}
+    se_params = {'params': rcnn_params['se_layer']}
 
     if args.device_tracker:
         # fully on-device fast path (greedy assignment; see
@@ -216,13 +216,13 @@ def eval_tracking(args, cfg, logger):
         from jmodt_tpu.tracking.device_tracker import DeviceTracker
         feat_dim = cfg.RCNN.SA_CONFIG.MLPS[-1][-1]
         car_tracker = DeviceTracker(
-            lambda p, x: link_head.apply({'params': p}, x),
-            rcnn_params['link_layer'], feat_dim=feat_dim,
+            link_head.apply, link_params, feat_dim=feat_dim,
             t_miss=t_miss, t_hit=t_hit, w_app=w_app, w_iou=w_iou,
             w_dis=w_dis, score_thresh=cls_thresh,
             match_thresh=match_thresh)
     else:
-        car_tracker = Tracker(link_apply, se_apply, t_miss=t_miss,
+        car_tracker = Tracker(link_head.apply, se_head.apply,
+                              link_params, se_params, t_miss=t_miss,
                               t_hit=t_hit, w_cls=w_cls, w_app=w_app,
                               w_iou=w_iou, w_dis=w_dis, w_se=w_se,
                               hungarian=args.hungarian,
