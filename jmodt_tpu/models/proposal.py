@@ -174,6 +174,93 @@ def _random_rank(key, mask, k):
     return idx.astype(jnp.int32), valid
 
 
+_AUG_RANGE_CONFIG = (
+    # pos_range, hwl_range, angle_range (mean_iou column unused), reference
+    # proposal_target_layer.py:313-318
+    (0.2, 0.1, math.pi / 12),
+    (0.3, 0.15, math.pi / 12),
+    (0.5, 0.15, math.pi / 9),
+    (0.8, 0.15, math.pi / 6),
+    (1.0, 0.15, math.pi / 3),
+)
+
+
+def random_aug_box3d(key, box3d, method: str):
+    """One jittered candidate of a (7,) box (reference random_aug_box3d,
+    proposal_target_layer.py:299-339): random shift / size scale / heading
+    rotation, magnitude either fixed ('single'), drawn from a 5-level range
+    table ('multiple', the default), or gaussian ('normal')."""
+    k_idx, k_pos, k_hwl, k_ang = jax.random.split(key, 4)
+    if method == 'single':
+        pos_shift = jax.random.uniform(k_pos, (3,), minval=-0.5, maxval=0.5)
+        hwl_scale = jax.random.uniform(
+            k_hwl, (3,), minval=-0.5, maxval=0.5) * 0.3 + 1.0
+        angle_rot = jax.random.uniform(
+            k_ang, (1,), minval=-0.5, maxval=0.5) * (math.pi / 6)
+    elif method == 'multiple':
+        tbl = jnp.asarray(_AUG_RANGE_CONFIG)
+        row = tbl[jax.random.randint(k_idx, (), 0, len(_AUG_RANGE_CONFIG))]
+        pos_shift = jax.random.uniform(k_pos, (3,), minval=-1.0,
+                                       maxval=1.0) * row[0]
+        hwl_scale = jax.random.uniform(k_hwl, (3,), minval=-1.0,
+                                       maxval=1.0) * row[1] + 1.0
+        angle_rot = jax.random.uniform(k_ang, (1,), minval=-1.0,
+                                       maxval=1.0) * row[2]
+    elif method == 'normal':
+        pos_shift = jax.random.normal(k_pos, (3,)) * jnp.asarray([0.3, 0.2, 0.3])
+        hwl_scale = 1.0 + (jax.random.normal(k_hwl, (3,))
+                           * jnp.asarray([0.25, 0.15, 0.5])
+                           / jnp.clip(box3d[3:6], 1e-3, None))
+        angle_rot = jax.random.uniform(
+            k_ang, (1,), minval=-1.0, maxval=1.0) * (math.pi / 12)
+    else:
+        raise NotImplementedError(f'REG_AUG_METHOD {method}')
+    return jnp.concatenate([box3d[0:3] + pos_shift, box3d[3:6] * hwl_scale,
+                            box3d[6:7] + angle_rot])
+
+
+def _aug_rois_by_noise(key, rois, gt_of, src_iou, max_trials, cfg: Config):
+    """Fixed-shape RoI jitter (reference aug_roi_by_noise_torch,
+    proposal_target_layer.py:269-297).  Per RoI: up to `max_trials[i]` trials,
+    each keeping the ORIGINAL box with p=0.2 or drawing a fresh jitter of it;
+    stop once IoU(candidate, gt) >= pos_thresh.  The box becomes the last
+    attempted candidate (threshold met or not); the reported IoU falls back
+    to the pre-aug value when no trial ran or the final candidate was the
+    kept original.
+
+    :param rois: (R, 7) chosen RoIs; gt_of (R, 7) their assigned gts
+    :param src_iou: (R,) pre-aug IoUs; max_trials (R,) int per-row budget
+    """
+    rc = cfg.RCNN
+    n = rois.shape[0]
+    pos_thresh = min(rc.REG_FG_THRESH, rc.CLS_FG_THRESH)
+    pair_iou = jax.vmap(lambda a, b: boxes_iou3d(a[None], b[None])[0, 0])
+    n_trials = int(rc.ROI_FG_AUG_TIMES)
+
+    def trial(t, carry):
+        box, iou, kept_orig, done = carry
+        tk = jax.random.fold_in(key, t)
+        keep_draw = jax.random.uniform(
+            jax.random.fold_in(tk, 0), (n,)) < 0.2
+        cand = jax.vmap(
+            lambda i, r: random_aug_box3d(jax.random.fold_in(tk, 1 + i), r,
+                                          rc.REG_AUG_METHOD)
+        )(jnp.arange(n), rois)
+        cand = jnp.where(keep_draw[:, None], rois, cand)
+        cand_iou = pair_iou(cand, gt_of)
+        active = (~done) & (t < max_trials)
+        box = jnp.where(active[:, None], cand, box)
+        iou = jnp.where(active, cand_iou, iou)
+        kept_orig = jnp.where(active, keep_draw, kept_orig)
+        done = done | (active & (cand_iou >= pos_thresh))
+        return box, iou, kept_orig, done
+
+    init = (rois, src_iou, jnp.ones(n, bool), jnp.zeros(n, bool))
+    box, iou, kept_orig, _ = jax.lax.fori_loop(0, n_trials, trial, init)
+    out_iou = jnp.where((max_trials == 0) | kept_orig, src_iou, iou)
+    return box, out_iou
+
+
 def _sample_rois_one(key, rois, gt_boxes, gt_tids, cfg: Config):
     """RoI sampling for one frame (reference sample_rois_for_rcnn,
     proposal_target_layer.py:119-238).  Fixed output size ROI_PER_IMAGE.
@@ -205,7 +292,7 @@ def _sample_rois_one(key, rois, gt_boxes, gt_tids, cfg: Config):
     ebn = jnp.sum(easy_bg)
     bgn = hbn + ebn
 
-    k_fg, k_hard, k_easy, k_r1, k_r2 = jax.random.split(key, 5)
+    k_fg, k_hard, k_easy, k_r1, k_r2, k_aug = jax.random.split(key, 6)
     fg_rank, _ = _random_rank(k_fg, fg_mask, n_roi)
     hard_rank, _ = _random_rank(k_hard, hard_bg, n_roi)
     easy_rank, _ = _random_rank(k_easy, easy_bg, n_roi)
@@ -230,8 +317,16 @@ def _sample_rois_one(key, rois, gt_boxes, gt_tids, cfg: Config):
     bg_choice = jnp.where(jb < hard_n, hard_choice, easy_choice)
 
     chosen = jnp.where(j < nf, fg_choice, bg_choice)
-    return (rois[chosen], gt_boxes[assign[chosen]], max_ov[chosen],
-            gt_tids[assign[chosen]])
+    sel_rois = rois[chosen]
+    sel_gt = gt_boxes[assign[chosen]]
+    sel_iou = max_ov[chosen]
+    if rc.ROI_FG_AUG_TIMES > 0:
+        # fg rows get the full trial budget; bg rows exactly one
+        # (proposal_target_layer.py:208-222)
+        max_trials = jnp.where(j < nf, rc.ROI_FG_AUG_TIMES, 1)
+        sel_rois, sel_iou = _aug_rois_by_noise(
+            k_aug, sel_rois, sel_gt, sel_iou, max_trials, cfg)
+    return sel_rois, sel_gt, sel_iou, gt_tids[assign[chosen]]
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
