@@ -318,6 +318,83 @@ def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt,
     return tp, fp, fn, similarity, thresholds[:thresh_idx]
 
 
+def compute_statistics_batch(overlaps, gt_datas, dt_datas, ignored_gt,
+                             ignored_det, dc_bboxes, metric, min_overlap,
+                             thresholds, compute_aos=False):
+    """All score thresholds of one frame in one pass — the vectorized
+    re-expression of the compute_fp=True greedy (reference eval.py:158-275,
+    where numba re-runs the whole frame per threshold).
+
+    The sequential gt loop carries per-threshold assignment state as a
+    (T, det) bool matrix; the per-gt detection choice collapses to two
+    reductions because the reference's j-ordered state machine is equivalent
+    to: "argmax-overlap over unassigned same-class candidates above
+    min_overlap, else first unassigned ignored-class candidate" (the
+    assigned_ignored_det flag only lets a real candidate displace an
+    ignored one, which argmax-over-reals already guarantees).
+
+    :return: (tp (T,), fp (T,), fn (T,), similarity (T,)) — similarity is
+        -1 where tp + fp == 0, matching the scalar protocol.
+    """
+    thr = np.asarray(thresholds, np.float64)
+    t_num = thr.shape[0]
+    det_size = dt_datas.shape[0]
+    gt_size = gt_datas.shape[0]
+    ignored_gt = np.asarray(ignored_gt)
+    ignored_det = np.asarray(ignored_det)
+    tp = np.zeros(t_num, np.int64)
+    fn = np.zeros(t_num, np.int64)
+    sim_sum = np.zeros(t_num, np.float64)
+
+    if det_size == 0:
+        fn += np.sum(ignored_gt == 0)
+        fp = np.zeros(t_num, np.int64)
+        return tp, fp, fn, np.full(t_num, -1.0)
+
+    dt_scores = dt_datas[:, -1]
+    dt_alphas = dt_datas[:, 4]
+    gt_alphas = gt_datas[:, 4]
+    score_ok = dt_scores[None, :] >= thr[:, None]          # (T, det)
+    assigned = np.zeros((t_num, det_size), bool)
+    type0 = ignored_det == 0
+    type1 = ignored_det == 1
+
+    for i in range(gt_size):
+        gi = ignored_gt[i]
+        if gi == -1:
+            continue
+        ov_ok = overlaps[:, i] > min_overlap               # (det,)
+        elig = (~assigned) & score_ok
+        c0 = elig & (type0 & ov_ok)[None, :]
+        has0 = c0.any(axis=1)
+        ov_masked = np.where(c0, overlaps[:, i][None, :], -np.inf)
+        j0 = np.argmax(ov_masked, axis=1)                  # first max on ties
+        c1 = elig & (type1 & ov_ok)[None, :]
+        has1 = c1.any(axis=1)
+        j1 = np.argmax(c1, axis=1)                         # first True
+        found = has0 | has1
+        det_idx = np.where(has0, j0, j1)
+        assigned[found, det_idx[found]] = True
+        if gi == 0:
+            fn += ~found
+            is_tp = has0                                   # real det matched
+            tp += is_tp
+            if compute_aos:
+                delta = gt_alphas[i] - dt_alphas[det_idx]
+                sim_sum += np.where(is_tp, (1.0 + np.cos(delta)) / 2.0, 0.0)
+        # gi == 1: a found det is consumed (assigned) but never a TP
+
+    fp_mask = (~assigned) & type0[None, :] & score_ok
+    fp = fp_mask.sum(axis=1)
+    if metric == 0 and len(dc_bboxes) > 0:
+        overlaps_dt_dc = image_box_overlap(
+            dt_datas[:, :4], np.asarray(dc_bboxes), 0)     # (det, ndc)
+        hits_dc = (overlaps_dt_dc > min_overlap).any(axis=1)
+        fp -= (fp_mask & hits_dc[None, :]).sum(axis=1)
+    similarity = np.where(tp + fp > 0, sim_sum, -1.0)
+    return tp, fp, fn, similarity
+
+
 def _get_split_parts(num, num_part):
     same, rem = num // num_part, num % num_part
     if same == 0:
@@ -436,17 +513,15 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                                    total_num_valid_gt))
                 pr = np.zeros([len(thresholds), 4])
                 for i in range(len(gt_annos)):
-                    for t, thr in enumerate(thresholds):
-                        tp, fp, fn, sim, _ = compute_statistics(
-                            overlaps[i], gt_datas_list[i], dt_datas_list[i],
-                            ignored_gts[i], ignored_dets[i], dontcares[i],
-                            metric, min_overlap=min_overlap, thresh=thr,
-                            compute_fp=True, compute_aos=compute_aos)
-                        pr[t, 0] += tp
-                        pr[t, 1] += fp
-                        pr[t, 2] += fn
-                        if sim != -1:
-                            pr[t, 3] += sim
+                    tp, fp, fn, sim = compute_statistics_batch(
+                        overlaps[i], gt_datas_list[i], dt_datas_list[i],
+                        ignored_gts[i], ignored_dets[i], dontcares[i],
+                        metric, min_overlap=min_overlap,
+                        thresholds=thresholds, compute_aos=compute_aos)
+                    pr[:, 0] += tp
+                    pr[:, 1] += fp
+                    pr[:, 2] += fn
+                    pr[:, 3] += np.where(sim != -1, sim, 0.0)
                 for i in range(len(thresholds)):
                     recall[m, li, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 2])
                     precision[m, li, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 1])

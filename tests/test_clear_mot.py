@@ -110,6 +110,59 @@ def test_van_gt_is_ignored_not_fp(setup_eval):
     assert e.ifn == 5  # the Van gts are ignored false negatives
 
 
+def test_fragmentation_counted_on_coverage_gap(setup_eval):
+    """gt track 1 is covered frames 0-1, missed at 2, re-covered 3-4 by the
+    SAME tracker id: one fragmentation, zero id switches
+    (kitti_evaluate.py:702-766 trajectory loop).  The reference baseline has
+    FRAG=129, so this counter must actually fire."""
+    make_eval, gt_dir, trk_dir = setup_eval
+    trk_rows = []
+    for f in range(5):
+        if f != 2:  # coverage gap for gt track 1
+            trk_rows.append(row(f, 10, x1=100 + 5 * f, x2=150 + 5 * f))
+        trk_rows.append(row(f, 20, x1=400 + 5 * f, x2=450 + 5 * f))
+    write_seq(str(trk_dir / '0000.txt'), trk_rows)
+    e = make_eval()
+    assert e.fragments == 1
+    assert e.id_switches == 0
+    assert e.fn == 1
+    assert e.MOTA == pytest.approx(1.0 - 1 / 10)
+    # coverage 4/5 = 0.8 is not > 0.8: the gapped track is only PT
+    assert e.PT == pytest.approx(0.5) and e.MT == pytest.approx(0.5)
+
+
+def test_gap_with_new_id_is_frag_not_switch(setup_eval):
+    """Resuming after a gap under a NEW id is a fragmentation but not an id
+    switch (the devkit requires gtraj[f-1] != -1 for a switch)."""
+    make_eval, gt_dir, trk_dir = setup_eval
+    trk_rows = []
+    for f in range(5):
+        if f < 2:
+            trk_rows.append(row(f, 10, x1=100 + 5 * f, x2=150 + 5 * f))
+        elif f >= 3:  # resume with a different id after the miss
+            trk_rows.append(row(f, 11, x1=100 + 5 * f, x2=150 + 5 * f))
+        trk_rows.append(row(f, 20, x1=400 + 5 * f, x2=450 + 5 * f))
+    write_seq(str(trk_dir / '0000.txt'), trk_rows)
+    e = make_eval()
+    assert e.fragments == 1
+    assert e.id_switches == 0
+
+
+def test_midtrack_id_change_is_switch_and_frag(setup_eval):
+    """An id change with NO coverage gap counts as both an id switch and a
+    fragmentation in the devkit's trajectory pass."""
+    make_eval, gt_dir, trk_dir = setup_eval
+    trk_rows = []
+    for f in range(5):
+        tid = 10 if f < 3 else 11
+        trk_rows.append(row(f, tid, x1=100 + 5 * f, x2=150 + 5 * f))
+        trk_rows.append(row(f, 20, x1=400 + 5 * f, x2=450 + 5 * f))
+    write_seq(str(trk_dir / '0000.txt'), trk_rows)
+    e = make_eval()
+    assert e.id_switches == 1
+    assert e.fragments == 1
+
+
 def test_evaluate_entry(setup_eval, tmp_path):
     make_eval, gt_dir, trk_dir = setup_eval
     trk_rows = []
