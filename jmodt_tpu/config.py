@@ -15,6 +15,7 @@ key/type checking, but return a *new* config instead of mutating a global.
 from __future__ import annotations
 
 import dataclasses
+import os
 from ast import literal_eval
 from dataclasses import dataclass, field, fields, replace
 from typing import Any, Mapping, Sequence, Tuple
@@ -220,6 +221,18 @@ class Config:
 
     USE_IOU_BRANCH: bool = False
 
+    # Network compute dtype ('bfloat16' | 'float32').  The TPU analog of the
+    # reference's AMP training (train_utils.py:124-143): dense/conv compute
+    # runs in bf16 while params, BatchNorm statistics, geometry (FPS, ball
+    # query, proposal decode, IoU) and all losses stay float32.  bf16 keeps
+    # f32's exponent range, so no GradScaler is needed.  The JMODT_DTYPE env
+    # var overrides the default — the CPU test suite sets it to float32
+    # (emulated bf16 on CPU nearly doubles suite time; semantics under test
+    # are dtype-agnostic, and tests/test_bf16.py covers the bf16 path
+    # explicitly).
+    DTYPE: str = field(
+        default_factory=lambda: os.environ.get('JMODT_DTYPE', 'bfloat16'))
+
     LI_FUSION: LIFusionConfig = field(default_factory=LIFusionConfig)
     RPN: RPNConfig = field(default_factory=RPNConfig)
     RCNN: RCNNConfig = field(default_factory=RCNNConfig)
@@ -229,6 +242,19 @@ class Config:
         SPLIT='val', RPN_POST_NMS_TOP_N=100, RPN_NMS_THRESH=0.8))
     TEST: ModeConfig = field(default_factory=lambda: ModeConfig(
         SPLIT='test', RPN_POST_NMS_TOP_N=100, RPN_NMS_THRESH=0.8))
+
+    def __post_init__(self):
+        # GT-database augmentation is a dead knob in the reference too
+        # (jmodt/config.py:27-31 defines it; nothing reads it).  Fail loudly
+        # instead of silently ignoring it.
+        if self.GT_AUG_ENABLED:
+            raise NotImplementedError(
+                'GT_AUG_ENABLED: ground-truth database augmentation is not '
+                'implemented (the reference defines but never reads this '
+                'knob either — jmodt/config.py:27)')
+        if self.DTYPE not in ('bfloat16', 'float32'):
+            raise ValueError(f'DTYPE must be bfloat16|float32, '
+                             f'got {self.DTYPE!r}')
 
     def mode_cfg(self, mode: str):
         """Dynamic per-mode lookup, replacing the reference `cfg[self.mode]` pattern

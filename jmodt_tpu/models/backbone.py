@@ -7,13 +7,15 @@ and a final full-resolution image fusion.  Feature-last layouts throughout.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
 from jmodt_tpu.config import Config
 from jmodt_tpu.models.image_backbone import (
     BasicBlock, ImagePyramidFusion, feature_gather)
-from jmodt_tpu.models.layers import PointwiseLayer
+from jmodt_tpu.models.layers import PointwiseLayer, compute_dtype
 from jmodt_tpu.models.pointnet2 import FPModule, SAModuleMSG
 
 
@@ -25,15 +27,16 @@ class IALayer(nn.Module):
 
     Inputs feature-last: img_feas (B, N, IC), point_feas (B, N, PC)."""
     point_channels: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, img_feas, point_feas, train: bool = False):
         rc = self.point_channels // 4
-        ri = nn.Dense(rc)(img_feas)
-        rp = nn.Dense(rc)(point_feas)
-        att = nn.sigmoid(nn.Dense(1)(nn.tanh(ri + rp)))  # (B, N, 1)
-        img_new = PointwiseLayer(self.point_channels, use_bn=True)(
-            img_feas, train=train)
+        ri = nn.Dense(rc, dtype=self.dtype)(img_feas)
+        rp = nn.Dense(rc, dtype=self.dtype)(point_feas)
+        att = nn.sigmoid(nn.Dense(1, dtype=self.dtype)(nn.tanh(ri + rp)))
+        img_new = PointwiseLayer(self.point_channels, use_bn=True,
+                                 dtype=self.dtype)(img_feas, train=train)
         return img_new * att
 
 
@@ -42,13 +45,16 @@ class AttentionFusion(nn.Module):
     AttentionFusion, backbone.py:61-76)."""
     point_channels: int
     out_channels: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, point_features, img_features, train: bool = False):
-        gated = IALayer(self.point_channels)(img_features, point_features,
-                                             train=train)
-        fused = jnp.concatenate([point_features, gated], axis=-1)
-        return PointwiseLayer(self.out_channels, use_bn=True)(fused, train=train)
+        gated = IALayer(self.point_channels, dtype=self.dtype)(
+            img_features, point_features, train=train)
+        fused = jnp.concatenate(
+            [point_features.astype(gated.dtype), gated], axis=-1)
+        return PointwiseLayer(self.out_channels, use_bn=True,
+                              dtype=self.dtype)(fused, train=train)
 
 
 class PointNet2MSG(nn.Module):
@@ -67,6 +73,7 @@ class PointNet2MSG(nn.Module):
         sa_cfg = cfg.RPN.SA_CONFIG
         li = cfg.LI_FUSION
         use_fusion = li.ENABLED and image is not None
+        dtype = compute_dtype(cfg)
 
         xyz = pc[..., 0:3]
         features = pc[..., 3:] if pc.shape[-1] > 3 else None
@@ -107,17 +114,19 @@ class PointNet2MSG(nn.Module):
                 mlps=sa_specs[k],
                 use_xyz=self.use_xyz,
                 use_bn=cfg.RPN.USE_BN,
+                dtype=dtype,
                 name=f'sa_{k}')(l_xyz[k], l_features[k], train)
 
             if use_fusion:
                 li_xy = jnp.take_along_axis(
                     l_xy[k], li_idx[:, :, None].astype(jnp.int32), axis=1)
-                img = BasicBlock(li.IMG_CHANNELS[k + 1],
+                img = BasicBlock(li.IMG_CHANNELS[k + 1], dtype=dtype,
                                  name=f'img_block_{k}')(img, train=train)
                 img_pts = feature_gather(img, li_xy)
                 li_feat = AttentionFusion(
                     point_channels=li.POINT_CHANNELS[k],
                     out_channels=li.POINT_CHANNELS[k],
+                    dtype=dtype,
                     name=f'fusion_{k}')(li_feat, img_pts, train=train)
                 l_xy.append(li_xy)
                 img_levels.append(img)
@@ -128,7 +137,8 @@ class PointNet2MSG(nn.Module):
         # FP stack, finest-last iteration order (backbone.py:182-185)
         n_fp = len(cfg.RPN.FP_MLPS)
         fp_modules = [fp_cls(mlp=tuple(cfg.RPN.FP_MLPS[k]),
-                             use_bn=cfg.RPN.USE_BN, name=f'fp_{k}')
+                             use_bn=cfg.RPN.USE_BN, dtype=dtype,
+                             name=f'fp_{k}')
                       for k in range(n_fp)]
         for i in range(-1, -(n_fp + 1), -1):
             l_features[i - 1] = fp_modules[i](
@@ -140,11 +150,13 @@ class PointNet2MSG(nn.Module):
                 reduce_channels=li.DeConv_Reduce,
                 kernels=li.DeConv_Kernels,
                 out_channels=li.IMG_FEATURES_CHANNEL // 4,
+                dtype=dtype,
                 name='img_pyramid')(img_levels, train=train)
             img_pts_full = feature_gather(img_full, xy)
             l_features[0] = AttentionFusion(
                 point_channels=li.IMG_FEATURES_CHANNEL,
                 out_channels=li.IMG_FEATURES_CHANNEL,
+                dtype=dtype,
                 name='final_fusion')(l_features[0], img_pts_full, train=train)
 
         return l_xyz[0], l_features[0]

@@ -7,7 +7,7 @@ NHWC (TPU-native); the reference's NCHW permutes away.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -17,16 +17,17 @@ class BasicBlock(nn.Module):
     """conv3x3(s=1) -> BN -> ReLU -> conv3x3(s=2), no bias (reference
     BasicBlock, backbone.py:15-30; each block halves H, W)."""
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (3, 3), strides=(1, 1), padding=1,
-                    use_bias=False)(x)
+                    use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(self.features, (3, 3), strides=(2, 2), padding=1,
-                    use_bias=False)(x)
+                    use_bias=False, dtype=self.dtype)(x)
         return x
 
 
@@ -48,8 +49,10 @@ def feature_gather(feature_map: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     v0 = jnp.clip(jnp.floor(v), 0, h - 1)
     u1 = jnp.clip(u0 + 1, 0, w - 1)
     v1 = jnp.clip(v0 + 1, 0, h - 1)
-    au = (u - u0)[..., None]
-    av = (v - v0)[..., None]
+    # interpolation weights in the feature dtype: keeps bf16 feature maps
+    # bf16 through the blend instead of promoting every gather to f32
+    au = (u - u0)[..., None].astype(feature_map.dtype)
+    av = (v - v0)[..., None].astype(feature_map.dtype)
     u0i, u1i = u0.astype(jnp.int32), u1.astype(jnp.int32)
     v0i, v1i = v0.astype(jnp.int32), v1.astype(jnp.int32)
 
@@ -73,6 +76,7 @@ class ImagePyramidFusion(nn.Module):
     reduce_channels: Sequence[int]
     kernels: Sequence[int]
     out_channels: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, img_levels, train: bool = False):
@@ -80,10 +84,10 @@ class ImagePyramidFusion(nn.Module):
         for i, feat in enumerate(img_levels):
             k = self.kernels[i]
             up = nn.ConvTranspose(self.reduce_channels[i], (k, k),
-                                  strides=(k, k))(feat)
+                                  strides=(k, k), dtype=self.dtype)(feat)
             ups.append(up)
         x = jnp.concatenate(ups, axis=-1)
-        x = nn.Conv(self.out_channels, (1, 1))(x)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)

@@ -14,26 +14,35 @@ flax momentum 0.9, eps 1e-5).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 
+def compute_dtype(cfg) -> Any:
+    """Network compute dtype from cfg.DTYPE (the AMP analog — see
+    config.py).  Params always stay float32 (flax param_dtype default);
+    BatchNorm statistics are computed in f32 by flax regardless."""
+    return jnp.bfloat16 if cfg.DTYPE == 'bfloat16' else jnp.float32
+
+
 class PointwiseLayer(nn.Module):
-    """Dense -> optional BN -> optional activation, on (..., C) tensors."""
+    """Dense -> optional BN -> optional activation, on (..., C) tensors.
+    `dtype` is the compute dtype (None = f32 promotion); params stay f32."""
     features: int
     use_bn: bool = False
     activation: Callable | None = nn.relu
     kernel_init: Callable = nn.initializers.kaiming_normal()
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Dense(self.features, use_bias=not self.use_bn,
-                     kernel_init=self.kernel_init)(x)
+                     kernel_init=self.kernel_init, dtype=self.dtype)(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train,
-                             momentum=0.9, epsilon=1e-5)(x)
+                             momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         if self.activation is not None:
             x = self.activation(x)
         return x
@@ -45,12 +54,14 @@ class PointwiseMLP(nn.Module):
     features: Sequence[int]
     use_bn: bool = False
     kernel_init: Callable = nn.initializers.kaiming_normal()
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for f in self.features:
             x = PointwiseLayer(f, use_bn=self.use_bn,
-                               kernel_init=self.kernel_init)(x, train=train)
+                               kernel_init=self.kernel_init,
+                               dtype=self.dtype)(x, train=train)
         return x
 
 
@@ -73,17 +84,21 @@ class HeadMLP(nn.Module):
     kernel_init: Callable = nn.initializers.kaiming_normal()
     out_kernel_init: Callable | None = None
     out_bias_init: Callable = nn.initializers.zeros
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, f in enumerate(self.hidden):
             x = PointwiseLayer(f, use_bn=self.use_bn,
-                               kernel_init=self.kernel_init)(x, train=train)
+                               kernel_init=self.kernel_init,
+                               dtype=self.dtype)(x, train=train)
             if i == 0 and self.dp_ratio > 0:
                 x = nn.Dropout(self.dp_ratio, deterministic=not train)(x)
         out_init = self.out_kernel_init or self.kernel_init
+        # head outputs feed losses / proposal decode: always emit f32
         return nn.Dense(self.out_features, kernel_init=out_init,
-                        bias_init=self.out_bias_init)(x)
+                        bias_init=self.out_bias_init,
+                        dtype=self.dtype)(x).astype(jnp.float32)
 
 
 def normal_init(stddev: float):

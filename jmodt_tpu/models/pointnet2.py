@@ -9,7 +9,7 @@ on TPU.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -35,10 +35,13 @@ class SAModuleMSG(nn.Module):
     mlps: Sequence[Sequence[int]]
     use_xyz: bool = True
     use_bn: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False):
         assert len(self.radii) == len(self.nsamples) == len(self.mlps)
+        # geometry (FPS, ball query) always runs on f32 coordinates; only the
+        # grouped-feature MLP compute drops to self.dtype
         if self.npoint is not None:
             idx = farthest_point_sample(xyz, self.npoint)
             new_xyz = gather_xyz(xyz, idx)
@@ -46,16 +49,18 @@ class SAModuleMSG(nn.Module):
             idx = None
             new_xyz = None
 
+        cdt = self.dtype or xyz.dtype
         outs = []
         for i, (radius, nsample, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
             if self.npoint is not None:
                 nbr = ball_query(radius, nsample, xyz, new_xyz)  # (B, M, S)
-                grouped_xyz = group_xyz(xyz, nbr) - new_xyz[:, :, None, :]
+                grouped_xyz = (group_xyz(xyz, nbr)
+                               - new_xyz[:, :, None, :]).astype(cdt)
                 if features is not None:
                     feats_cf = jnp.transpose(features, (0, 2, 1))  # (B, C, N)
                     grouped = group_points(feats_cf, nbr)          # (B, C, M, S)
-                    grouped = jnp.transpose(grouped, (0, 2, 3, 1))  # (B, M, S, C)
+                    grouped = jnp.transpose(grouped, (0, 2, 3, 1)).astype(cdt)
                     g = (jnp.concatenate([grouped_xyz, grouped], axis=-1)
                          if self.use_xyz else grouped)
                 else:
@@ -63,13 +68,15 @@ class SAModuleMSG(nn.Module):
                     g = grouped_xyz
             else:
                 # GroupAll (pointnet2_utils.py::GroupAll): one group of all pts
-                grouped_xyz = xyz[:, None, :, :]  # (B, 1, N, 3)
+                grouped_xyz = xyz[:, None, :, :].astype(cdt)  # (B, 1, N, 3)
                 if features is not None:
-                    g = (jnp.concatenate([grouped_xyz, features[:, None]], axis=-1)
-                         if self.use_xyz else features[:, None])
+                    g = (jnp.concatenate(
+                            [grouped_xyz, features[:, None].astype(cdt)],
+                            axis=-1)
+                         if self.use_xyz else features[:, None].astype(cdt))
                 else:
                     g = grouped_xyz
-            g = PointwiseMLP(tuple(mlp), use_bn=self.use_bn,
+            g = PointwiseMLP(tuple(mlp), use_bn=self.use_bn, dtype=self.dtype,
                              name=f'mlp_{i}')(g, train=train)
             outs.append(jnp.max(g, axis=2))  # max-pool over the sample dim
         return new_xyz, jnp.concatenate(outs, axis=-1), idx
@@ -93,6 +100,7 @@ class FPModule(nn.Module):
     interpolation + skip concat + shared MLP."""
     mlp: Sequence[int]
     use_bn: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, unknown, known, unknown_feats, known_feats,
@@ -100,19 +108,22 @@ class FPModule(nn.Module):
         """unknown (B, n, 3); known (B, m, 3) | None;
         unknown_feats (B, n, C1) | None; known_feats (B, m, C2) ->
         (B, n, mlp[-1])."""
+        cdt = self.dtype or known_feats.dtype
         if known is not None:
+            # 3-NN distances/weights on f32 coordinates; gather in cdt
             dist, idx = three_nn(unknown, known)
             recip = 1.0 / (dist + 1e-8)
-            weight = recip / jnp.sum(recip, axis=2, keepdims=True)
-            feats_cf = jnp.transpose(known_feats, (0, 2, 1))
-            interp = three_interpolate(feats_cf, idx, weight)  # (B, C2, n)
-            interp = jnp.transpose(interp, (0, 2, 1))
+            weight = (recip / jnp.sum(recip, axis=2, keepdims=True))
+            feats_cf = jnp.transpose(known_feats, (0, 2, 1)).astype(cdt)
+            interp = three_interpolate(feats_cf, idx, weight.astype(cdt))
+            interp = jnp.transpose(interp, (0, 2, 1))  # (B, n, C2)
         else:
             interp = jnp.broadcast_to(
                 known_feats, (known_feats.shape[0], unknown.shape[1],
-                              known_feats.shape[2]))
+                              known_feats.shape[2])).astype(cdt)
         if unknown_feats is not None:
-            new = jnp.concatenate([interp, unknown_feats], axis=-1)
+            new = jnp.concatenate([interp, unknown_feats.astype(cdt)], axis=-1)
         else:
             new = interp
-        return PointwiseMLP(tuple(self.mlp), use_bn=self.use_bn)(new, train=train)
+        return PointwiseMLP(tuple(self.mlp), use_bn=self.use_bn,
+                            dtype=self.dtype)(new, train=train)

@@ -10,14 +10,15 @@ step is one compiled program.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from jmodt_tpu.config import Config
-from jmodt_tpu.models.layers import HeadMLP, PointwiseMLP, normal_init
+from jmodt_tpu.models.layers import (HeadMLP, PointwiseMLP, compute_dtype,
+                                     normal_init)
 from jmodt_tpu.models.pointnet2 import SAModuleMSG
 from jmodt_tpu.models.proposal import first_k_indices
 
@@ -37,11 +38,13 @@ class CorrelationHead(nn.Module):
     hidden: tuple
     use_bn: bool = False
     dp_ratio: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return HeadMLP(self.hidden, 1, use_bn=self.use_bn,
-                       dp_ratio=self.dp_ratio, name='mlp')(x, train=train)
+                       dp_ratio=self.dp_ratio, dtype=self.dtype,
+                       name='mlp')(x, train=train)
 
 
 def unique_tid_mean_features(tids: jnp.ndarray, feats: jnp.ndarray):
@@ -98,15 +101,18 @@ class RCNN(nn.Module):
         rcnn_input_channel = 3 + int(rc.USE_INTENSITY) + int(rc.USE_MASK) \
             + int(rc.USE_DEPTH)
 
+        dtype = compute_dtype(cfg)
         xyz = pts_input[..., 0:3]
         if rc.USE_RPN_FEATURES:
             xyz_feature = PointwiseMLP(rc.XYZ_UP_LAYER, use_bn=rc.USE_BN,
-                                       name='xyz_up')(
+                                       dtype=dtype, name='xyz_up')(
                 pts_input[..., :rcnn_input_channel], train=train)
             rpn_feature = pts_input[..., rcnn_input_channel:]
-            merged = jnp.concatenate([xyz_feature, rpn_feature], axis=-1)
+            merged = jnp.concatenate(
+                [xyz_feature, rpn_feature.astype(xyz_feature.dtype)], axis=-1)
             feats = PointwiseMLP((rc.XYZ_UP_LAYER[-1],), use_bn=rc.USE_BN,
-                                 name='merge_down')(merged, train=train)
+                                 dtype=dtype, name='merge_down')(
+                merged, train=train)
         else:
             feats = pts_input[..., 3:]
 
@@ -120,31 +126,35 @@ class RCNN(nn.Module):
                 radii=(rc.SA_CONFIG.RADIUS[k],),
                 nsamples=(rc.SA_CONFIG.NSAMPLE[k],),
                 mlps=(tuple(rc.SA_CONFIG.MLPS[k]),),
-                use_xyz=self.use_xyz, use_bn=rc.USE_BN,
+                use_xyz=self.use_xyz, use_bn=rc.USE_BN, dtype=dtype,
                 name=f'sa_{k}')(l_xyz, l_feats, train)
-        feat_vec = l_feats[:, 0, :]  # (R, 512): GroupAll leaves one group
+        # (R, 512): GroupAll leaves one group; f32 from here on — the feature
+        # feeds the ReID correlation + tracker affinities
+        feat_vec = l_feats[:, 0, :].astype(jnp.float32)
 
         rcnn_cls = HeadMLP(rc.CLS_FC, 1, use_bn=rc.USE_BN,
                            dp_ratio=rc.DP_RATIO,
                            kernel_init=nn.initializers.xavier_normal(),
-                           name='cls_head')(feat_vec, train=train)
+                           dtype=dtype, name='cls_head')(feat_vec, train=train)
         rcnn_reg = HeadMLP(rc.REG_FC, rcnn_reg_channels(cfg), use_bn=rc.USE_BN,
                            dp_ratio=rc.DP_RATIO,
                            kernel_init=nn.initializers.xavier_normal(),
                            out_kernel_init=normal_init(0.001),
-                           name='reg_head')(feat_vec, train=train)
+                           dtype=dtype, name='reg_head')(feat_vec, train=train)
         out = {'rcnn_cls': rcnn_cls, 'rcnn_reg': rcnn_reg,
                'rcnn_feat': feat_vec}
         if cfg.USE_IOU_BRANCH:
             out['rcnn_iou_branch'] = HeadMLP(
                 rc.REG_FC, 1, use_bn=rc.USE_BN, dp_ratio=rc.DP_RATIO,
                 kernel_init=nn.initializers.xavier_normal(),
-                name='iou_branch')(feat_vec, train=train)
+                dtype=dtype, name='iou_branch')(feat_vec, train=train)
 
         link_head = CorrelationHead(cfg.REID.LINK_FC, use_bn=cfg.REID.USE_BN,
-                                    dp_ratio=rc.DP_RATIO, name='link_layer')
+                                    dp_ratio=rc.DP_RATIO, dtype=dtype,
+                                    name='link_layer')
         se_head = CorrelationHead(cfg.REID.SE_FC, use_bn=cfg.REID.USE_BN,
-                                  dp_ratio=rc.DP_RATIO, name='se_layer')
+                                  dp_ratio=rc.DP_RATIO, dtype=dtype,
+                                  name='se_layer')
 
         if gt_tids is not None and cfg.REID.ENABLED:
             out.update(self._reid(feat_vec, gt_tids, link_head, se_head, train))

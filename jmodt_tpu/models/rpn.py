@@ -14,7 +14,8 @@ from flax import linen as nn
 
 from jmodt_tpu.config import Config
 from jmodt_tpu.models.backbone import PointNet2MSG
-from jmodt_tpu.models.layers import HeadMLP, constant_init, normal_init
+from jmodt_tpu.models.layers import (HeadMLP, compute_dtype, constant_init,
+                                     normal_init)
 
 
 def rpn_reg_channels(cfg: Config) -> int:
@@ -46,12 +47,13 @@ class RPN(nn.Module):
         cls_bias = (constant_init(-math.log((1 - pi) / pi))
                     if cfg.RPN.LOSS_CLS == 'SigmoidFocalLoss'
                     else nn.initializers.zeros)
+        dtype = compute_dtype(cfg)
         rpn_cls = HeadMLP(cfg.RPN.CLS_FC, 1, use_bn=cfg.RPN.USE_BN,
                           dp_ratio=cfg.RPN.DP_RATIO, out_bias_init=cls_bias,
-                          name='cls_head')(feats, train=train)
+                          dtype=dtype, name='cls_head')(feats, train=train)
         rpn_reg = HeadMLP(cfg.RPN.REG_FC, rpn_reg_channels(cfg),
                           use_bn=cfg.RPN.USE_BN, dp_ratio=cfg.RPN.DP_RATIO,
                           out_kernel_init=normal_init(0.001),
-                          name='reg_head')(feats, train=train)
+                          dtype=dtype, name='reg_head')(feats, train=train)
         return {'rpn_cls': rpn_cls, 'rpn_reg': rpn_reg,
                 'backbone_xyz': xyz, 'backbone_features': feats}

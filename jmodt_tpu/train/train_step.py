@@ -9,8 +9,11 @@ Key deviations, all jit-motivated and value-preserving:
     (train_functions.py:91-101, 191-200); here invalid rows get zero weight
     in the same mask-weighted means — identical values, static shapes.
   * AMP (`torch.cuda.amp` + GradScaler, train_utils.py:124-143) becomes
-    bf16 matmuls with f32 params/reductions — no loss scaling needed since
-    bf16 has f32's exponent range.
+    bf16 network compute with f32 params/reductions, wired through
+    `cfg.DTYPE` ('bfloat16' by default) into every flax layer's `dtype`
+    (see models/layers.py::compute_dtype); head outputs, geometry, and all
+    losses here stay f32 — no loss scaling needed since bf16 keeps f32's
+    exponent range.
   * Finetune mode (tools/train.py:96-107: freeze everything except the
     link/se heads) is an optax `masked` transform instead of
     requires_grad_ flags.

@@ -7,7 +7,8 @@ for more than `stop_thres` consecutive epochs, tensorboard scalars per loss
 term.
 
 TPU differences: the whole optimizer step is one jitted program (AMP +
-GradScaler become bf16 matmuls with f32 params — no scaler needed), the
+GradScaler become bf16 network compute with f32 master params via
+cfg.DTYPE — no scaler needed, see models/layers.py::compute_dtype), the
 train step can be sharded over a data-parallel mesh by passing
 `mesh=make_mesh()`, and checkpoints are flax msgpack via
 jmodt_tpu.train.checkpoint.

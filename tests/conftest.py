@@ -14,6 +14,11 @@ if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# f32 for the suite: emulated bf16 on CPU nearly doubles wall time and the
+# semantics under test are dtype-agnostic; tests/test_bf16.py opts back in
+# explicitly.  Must happen before jmodt_tpu.config is imported anywhere.
+os.environ.setdefault('JMODT_DTYPE', 'float32')
+
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
