@@ -88,12 +88,35 @@ def main():
     assert np.isfinite(last).all()
     assert n_rows > 0, 'tracker emitted no rows'
 
+    # MFU: compiled-program FLOPs (XLA cost analysis) vs v5e peak (197
+    # TFLOP/s bf16 — also the f32 rate, since TPU f32 matmuls run as bf16
+    # MXU passes at default precision).  cost_analysis counts logical flops
+    # of the optimized HLO and can overcount what the hardware executes, so
+    # treat `mfu` as an upper-bound estimate; values near (occasionally
+    # above) 1.0 mean the program is at the compute roofline and relay
+    # timing noise dominates.
+    try:
+        lowered = joint.lower(variables, link_p, state0, jnp.asarray(1),
+                              f0['pts_input'], f0['img'], f0['pts_xy'])
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_frame = float(cost.get('flops', 0.0))
+    except Exception:
+        flops_per_frame = 0.0
+    peak_flops = 197e12  # TPU v5e bf16 peak
+    mfu = (flops_per_frame / dt) / peak_flops if flops_per_frame else None
+
     print(json.dumps({
         'metric': 'detect_plus_track_ms_per_frame',
         'value': round(dt * 1e3, 3),
         'unit': 'ms',
         'vs_baseline': round(BASELINE_S_PER_FRAME / dt, 2),
         'last_frame_track_rows': n_rows,
+        'flops_per_frame': flops_per_frame,
+        'achieved_tflops': (round(flops_per_frame / dt / 1e12, 2)
+                            if flops_per_frame else None),
+        'mfu': round(mfu, 4) if mfu is not None else None,
     }))
 
 
