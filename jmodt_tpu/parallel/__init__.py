@@ -1,7 +1,8 @@
 """Device-mesh parallelism utilities."""
 
-from jmodt_tpu.parallel.mesh import (data_parallel_sharding, make_mesh,
+from jmodt_tpu.parallel.mesh import (batch_sharding, data_parallel_sharding,
+                                     make_mesh, make_mesh_2d,
                                      replicated_sharding, shard_batch)
 
-__all__ = ['make_mesh', 'shard_batch', 'data_parallel_sharding',
-           'replicated_sharding']
+__all__ = ['make_mesh', 'make_mesh_2d', 'shard_batch', 'batch_sharding',
+           'data_parallel_sharding', 'replicated_sharding']

@@ -1,16 +1,27 @@
-"""Data-parallel device mesh.
+"""Device meshes: data-parallel and data x points.
 
 The reference's only multi-device mode is single-process
 `torch.nn.DataParallel` (reference tools/train.py:86-87), which scatters the
-batch and gathers outputs through host staging.  The TPU-native equivalent is
-a 1-D `jax.sharding.Mesh` over a `data` axis: the batch is sharded across
-devices, parameters are replicated, and XLA inserts the gradient all-reduce
-over ICI inside the single compiled train step — no host round-trips, no
-explicit collectives in user code (SURVEY.md §2.3).
+batch and gathers outputs through host staging.  The TPU-native equivalents:
+
+  * 1-D `data` mesh: the batch is sharded across devices, parameters are
+    replicated, and XLA inserts the gradient all-reduce over ICI inside the
+    single compiled train step — no host round-trips, no explicit
+    collectives in user code (SURVEY.md §2.3).
+  * 2-D `(data, points)` mesh: within each data shard, the POINT dimension
+    of the cloud (and the image width for the CNN branch) is additionally
+    sharded over the `points` axis — the sequence-parallel analog for point
+    clouds.  Only the INPUTS are annotated (`batch_sharding`); GSPMD
+    propagates the point sharding through the pointwise MLPs and inserts
+    the collectives (all-gathers around FPS/ball-query gathers and top-k,
+    halo exchanges for the strided convs) on its own.  This scales
+    per-frame activation memory (the 16384-point levels dominate) and
+    keeps batch size per chip constant when dp alone runs out of batch.
 
 Multi-host (DCN) data parallelism works through the same API: initialize
 `jax.distributed` before calling `make_mesh()` and the mesh spans all
-processes' devices.
+processes' devices.  Lay the `points` axis along ICI (the inner mesh dim)
+— its collectives are per-layer; `data` only all-reduces grads once.
 """
 
 from __future__ import annotations
@@ -22,6 +33,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
+POINTS_AXIS = 'points'
+
+# batch fields with a point (or image-width) dimension to split over the
+# `points` axis, and which dim it is
+_POINT_DIMS = {
+    'pts_input': 1,      # (B, N, 3+C)
+    'pts_xy': 1,         # (B, N, 2)
+    'rpn_cls_label': 1,  # (B, N)
+    'rpn_reg_label': 1,  # (B, N, 7)
+    'img': 2,            # (B, H, W, 3) -> width
+}
 
 
 def make_mesh(devices: Optional[Sequence[Any]] = None,
@@ -29,6 +51,18 @@ def make_mesh(devices: Optional[Sequence[Any]] = None,
     """A 1-D mesh over all (or the given) devices."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     return Mesh(devices, (axis,))
+
+
+def make_mesh_2d(devices: Optional[Sequence[Any]] = None,
+                 sp: int = 2, dp: Optional[int] = None) -> Mesh:
+    """A (data, points) mesh: dp x sp devices (dp inferred when omitted)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if dp is None:
+        assert n % sp == 0, f'{n} devices not divisible by sp={sp}'
+        dp = n // sp
+    assert dp * sp == n, f'dp*sp = {dp}*{sp} != {n} devices'
+    return Mesh(devices.reshape(dp, sp), (DATA_AXIS, POINTS_AXIS))
 
 
 def data_parallel_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
@@ -41,13 +75,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
-    """Place every array in `batch` with its leading dim sharded over `axis`.
+def batch_sharding(mesh: Mesh, key: Optional[str] = None) -> NamedSharding:
+    """Sharding for one batch field: batch dim over `data`, plus — on a
+    2-D mesh — the field's point/width dim over `points`."""
+    if POINTS_AXIS not in mesh.axis_names or key not in _POINT_DIMS:
+        return NamedSharding(mesh, P(DATA_AXIS))
+    dim = _POINT_DIMS[key]
+    spec = [DATA_AXIS] + [None] * (dim - 1) + [POINTS_AXIS]
+    return NamedSharding(mesh, P(*spec))
 
-    Leading dims must be divisible by the mesh size; the data pipeline pads
-    batches to a multiple of the device count (fixed shapes are already the
-    design rule, SURVEY.md §7).
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
+    """Place every array in `batch` on the mesh: leading dim over `data`,
+    and (2-D mesh, known point fields) the point dim over `points`.
+
+    Sharded dims must be divisible by their mesh-axis size; the data
+    pipeline pads batches to a multiple of the device count (fixed shapes
+    are already the design rule, SURVEY.md §7).
     """
+    if isinstance(batch, dict):
+        return {k: jax.device_put(v, batch_sharding(mesh, k))
+                for k, v in batch.items()}
     sharding = data_parallel_sharding(mesh, axis)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)

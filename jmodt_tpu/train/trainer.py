@@ -49,6 +49,9 @@ class Trainer:
                  mesh=None, log: Optional[logging.Logger] = None):
         self.cfg = cfg
         self.model = model
+        if mesh is not None:
+            from jmodt_tpu.parallel import replicated_sharding
+            state = jax.device_put(state, replicated_sharding(mesh))
         self.state = state
         self.ckpt_dir = ckpt_dir
         self.tb_log = tb_log
@@ -57,28 +60,29 @@ class Trainer:
 
         train_step = make_train_step(cfg, model, tx)
         val_step = make_val_step(cfg, model)
+        self._mesh = mesh
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            repl = NamedSharding(mesh, P())
-            data = NamedSharding(mesh, P('data'))
-            self._data_sharding = data
-            self._train_step = jax.jit(train_step,
-                                       in_shardings=(repl, data, repl),
-                                       out_shardings=(repl, repl))
-            self._val_step = jax.jit(val_step,
-                                     in_shardings=(repl, data, repl),
-                                     out_shardings=(repl, repl))
+            # 1-D mesh: pure data parallel.  2-D (data, points) mesh: the
+            # point/width dims of known batch fields are additionally split
+            # over the inner axis (jmodt_tpu/parallel/mesh.py) — shardings
+            # are attached per-field by _device_batch via shard_batch, and
+            # jit infers in_shardings from the committed arrays.
+            from jmodt_tpu.parallel import replicated_sharding
+            repl = replicated_sharding(mesh)
+            self._repl = repl
+            self._train_step = jax.jit(train_step, out_shardings=(repl, repl))
+            self._val_step = jax.jit(val_step, out_shardings=(repl, repl))
         else:
-            self._data_sharding = None
+            self._repl = None
             self._train_step = jax.jit(train_step)
             self._val_step = jax.jit(val_step)
 
     def _device_batch(self, batch: dict) -> dict:
         batch = {k: v for k, v in batch.items()
                  if isinstance(v, np.ndarray) and k != 'sample_id'}
-        if self._data_sharding is not None:
-            batch = {k: jax.device_put(v, self._data_sharding)
-                     for k, v in batch.items()}
+        if self._mesh is not None:
+            from jmodt_tpu.parallel import shard_batch
+            batch = shard_batch(batch, self._mesh)
         return batch
 
     def eval_epoch(self, val_loader: Iterable, key) -> tuple:

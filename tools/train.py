@@ -70,6 +70,11 @@ def main():
     parser.add_argument('--train_with_eval', action='store_true')
     parser.add_argument('--data_parallel', action='store_true',
                         help='shard the batch over all local devices')
+    parser.add_argument('--points_parallel', type=int, default=1,
+                        help='additionally shard the point dimension over '
+                             'this many devices per data shard (a 2-D '
+                             '(data, points) mesh; device count must be '
+                             'divisible). Implies --data_parallel.')
     parser.add_argument('--multihost', action='store_true',
                         help='initialize jax.distributed for multi-host '
                              'data parallelism over DCN (beyond reference '
@@ -169,7 +174,12 @@ def main():
         logger.info('tensorboardX unavailable; skipping tb logging')
 
     mesh = None
-    if args.data_parallel and len(jax.devices()) > 1:
+    if args.points_parallel > 1 and len(jax.devices()) > 1:
+        from jmodt_tpu.parallel import make_mesh_2d
+        mesh = make_mesh_2d(sp=args.points_parallel)
+        logger.info('(data, points) mesh: %s over %d devices',
+                    dict(mesh.shape), len(jax.devices()))
+    elif args.data_parallel and len(jax.devices()) > 1:
         from jmodt_tpu.parallel import make_mesh
         mesh = make_mesh()
         logger.info('data-parallel over %d devices', len(jax.devices()))
