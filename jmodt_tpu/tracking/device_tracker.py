@@ -155,6 +155,101 @@ def _kalman_update(mean, cov, z7, apply_mask, mats: KalmanMats):
             jnp.where(m[..., None], new_cov, cov))
 
 
+def _lap_assign(affinity, match_thresh):
+    """EXACT max-weight bipartite matching — Jonker-Volgenant shortest
+    augmenting paths, fully on device.  The on-device counterpart of the
+    host `hungarian_match` (data_association.py:107-138 in the reference;
+    scipy's linear_sum_assignment implements the same algorithm).
+
+    One augmentation per detection: a Dijkstra-like scan over track slots
+    using (T,)-vector relaxations inside a while_loop (at most T pops, far
+    fewer in practice since gated matrices reach a free slot immediately),
+    followed by a dual update on the scanned columns and a predecessor
+    walk-back (at most D steps).  All shapes static; exactness verified
+    against scipy over randomized gated matrices in
+    tests/test_device_assign.py.
+
+    Note: plain eps-scaled auction is NOT used here deliberately — with
+    more track slots than detections (T > D) its eps-complementary
+    slackness bound only holds against assignments into the same column
+    subset, and stale prices on unassigned slots make it land on
+    arbitrarily suboptimal matchings.
+
+    affinity (T, D) with -inf for invalid pairs, T >= D; returns
+    (track->det (T,) int32 with -1 unmatched, det->track (D,))."""
+    t, d = affinity.shape
+    assert t >= d, 'lap assumes at least as many track slots as dets'
+    big = 1e9      # finite stand-in for gated pairs (filtered at the end)
+    inf = 1e30     # scan mask
+    aff = jnp.where(jnp.isfinite(affinity), affinity, -big)
+    cost = -aff.T  # (D, T): rows = detections, minimize
+
+    def assign_row(r, carry):
+        v, col2row, row2col = carry
+
+        def scan_cond(c):
+            _, _, _, jfree = c
+            return jfree < 0
+
+        def scan_body(c):
+            scanned, dvec, pred, jfree = c
+            j = jnp.argmin(jnp.where(scanned, inf, dvec)).astype(jnp.int32)
+            scanned = scanned.at[j].set(True)
+            i = col2row[j]
+            free = i < 0
+            safe_i = jnp.where(free, 0, i)
+            red = dvec[j] + (cost[safe_i] - v) - (cost[safe_i, j] - v[j])
+            upd = (~scanned) & (red < dvec) & (~free)
+            pred = jnp.where(upd, safe_i, pred)
+            dvec = jnp.where(upd, red, dvec)
+            return scanned, dvec, pred, jnp.where(free, j, jfree)
+
+        scanned, dvec, pred, jfree = jax.lax.while_loop(
+            scan_cond, scan_body,
+            (jnp.zeros((t,), bool), cost[r] - v,
+             jnp.full((t,), r, jnp.int32), jnp.int32(-1)))
+
+        # dual update on scanned columns (excluding the free one)
+        dfin = dvec[jfree]
+        sc = scanned.at[jfree].set(False)
+        v = jnp.where(sc, v + dvec - dfin, v)
+
+        # augment along the predecessor chain back to row r
+        def aug_cond(c):
+            _, _, _, done = c
+            return ~done
+
+        def aug_body(c):
+            j, col2row, row2col, _ = c
+            i = pred[j]
+            col2row = col2row.at[j].set(i)
+            next_j = row2col[i]
+            row2col = row2col.at[i].set(j)
+            return next_j, col2row, row2col, i == r
+
+        _, col2row, row2col, _ = jax.lax.while_loop(
+            aug_cond, aug_body, (jfree, col2row, row2col, False))
+        return v, col2row, row2col
+
+    v0 = jnp.zeros((t,))
+    c2r0 = jnp.full((t,), -1, jnp.int32)
+    r2c0 = jnp.full((d,), -1, jnp.int32)
+    _, col2row, row2col = jax.lax.fori_loop(0, d, assign_row,
+                                            (v0, c2r0, r2c0))
+
+    # cols are tracks, rows are dets: col2row IS track->det.  Drop pairs at
+    # or below the threshold (host hungarian_match:94-96).
+    ti = jnp.arange(t)
+    di = jnp.arange(d)
+    keep_t = (col2row >= 0) & (
+        aff[ti, jnp.where(col2row >= 0, col2row, 0)] > match_thresh)
+    t2d = jnp.where(keep_t, col2row, -1)
+    keep_d = (row2col >= 0) & (
+        aff[jnp.where(row2col >= 0, row2col, 0), di] > match_thresh)
+    d2t = jnp.where(keep_d, row2col, -1)
+    return t2d, d2t
+
+
 def _greedy_assign(affinity, match_thresh):
     """Best-first bipartite matching on a gated affinity matrix.
     affinity (T, D) with -inf for invalid pairs; returns
@@ -184,6 +279,7 @@ def make_device_tracker_step(link_apply: Callable, t_miss: int = 2,
                              w_iou: float = 10.0, w_dis: float = 10.0,
                              score_thresh: float = 0.0,
                              match_thresh: float = 0.0,
+                             assign: str = 'hungarian',
                              jit: bool = True) -> Callable:
     """Build the jitted per-frame step.
 
@@ -193,11 +289,17 @@ def make_device_tracker_step(link_apply: Callable, t_miss: int = 2,
     executable as constants, which this relay's program cache handles
     pathologically.
 
+    `assign`: 'hungarian' (default — exact on-device Jonker-Volgenant,
+    identical solutions to the host scipy path) or 'greedy' (best-first;
+    cheaper, can differ from Hungarian when assignments conflict).
+
     step(state, frame_id (), det_boxes (D, 7), det_scores (D,),
          det_feats (D, C), det_mask (D,), link_params) -> (state, output)
     where output is a dict of fixed-shape arrays: 'tid' (T,), 'box' (T, 7),
     'score' (T,), 'det_idx' (T,), 'emit' (T,) bool.
     """
+    assert assign in ('hungarian', 'greedy'), assign
+    assign_fn = _lap_assign if assign == 'hungarian' else _greedy_assign
 
     def step(state: TrackerState, frame_id, det_boxes, det_scores,
              det_feats, det_mask, link_params):
@@ -231,7 +333,7 @@ def make_device_tracker_step(link_apply: Callable, t_miss: int = 2,
         combined = jnp.where(
             pair_ok, link * w_app + iou * w_iou + dis * w_dis, -jnp.inf)
 
-        t2d, d2t = _greedy_assign(combined, match_thresh)
+        t2d, d2t = assign_fn(combined, match_thresh)
         matched_t = t2d >= 0
         safe_t2d = jnp.where(matched_t, t2d, 0)
 
