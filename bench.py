@@ -82,6 +82,24 @@ def main():
     dt2, outs = timed_pass()
     dt = min(dt1, dt2)
 
+    # secondary: device-resident inputs (the deployment condition where
+    # frames arrive by DMA/infeed instead of per-call RPC upload — on this
+    # relay the upload is ~1.1 ms of the streaming number)
+    dev_frames = [tuple(jax.device_put(f[k])
+                        for k in ('pts_input', 'img', 'pts_xy'))
+                  for f in frames]
+    jax.block_until_ready(dev_frames[-1])
+    compute_dt = 1e9
+    for _ in range(2):
+        st = state0
+        t0 = time.perf_counter()
+        for i in range(N_FRAMES):
+            p, im, xy = dev_frames[i % len(dev_frames)]
+            st, _ = joint(variables, link_p, st, jnp.asarray(i + 1),
+                          p, im, xy)
+        jax.block_until_ready(st)
+        compute_dt = min(compute_dt, (time.perf_counter() - t0) / N_FRAMES)
+
     # validate outside the timed region: tracks were actually produced
     last = np.asarray(outs[-1])
     n_rows = int((last[:, 9] > 0.5).sum())
@@ -113,6 +131,7 @@ def main():
         'unit': 'ms',
         'vs_baseline': round(BASELINE_S_PER_FRAME / dt, 2),
         'last_frame_track_rows': n_rows,
+        'compute_ms_per_frame': round(compute_dt * 1e3, 3),
         'flops_per_frame': flops_per_frame,
         'achieved_tflops': (round(flops_per_frame / dt / 1e12, 2)
                             if flops_per_frame else None),
