@@ -244,9 +244,16 @@ class Config:
         SPLIT='test', RPN_POST_NMS_TOP_N=100, RPN_NMS_THRESH=0.8))
 
     def __post_init__(self):
-        # GT-database augmentation is a dead knob in the reference too
-        # (jmodt/config.py:27-31 defines it; nothing reads it).  Fail loudly
-        # instead of silently ignoring it.
+        # Fail loudly on knobs whose non-default settings are not
+        # implemented, instead of silently ignoring them.  Audit of every
+        # config field (round 2): the remaining never-read fields (TAG,
+        # GT_EXTRA_NUM / GT_AUG_*, LI_FUSION.DeConv_Strides,
+        # RPN.REG_LOSS_WEIGHT, RCNN.{MASK_TYPE, USE_SEG_SCORE, CLS_WEIGHT,
+        # IOU_ANGLE_POWER}) are dead in the REFERENCE as well — defined in
+        # jmodt/config.py but read nowhere (CLS_WEIGHT only matters for the
+        # multi-class 'CrossEntropy' RCNN loss, which raises
+        # NotImplementedError here exactly like unsupported LOSS_CLS values
+        # do in the reference).
         if self.GT_AUG_ENABLED:
             raise NotImplementedError(
                 'GT_AUG_ENABLED: ground-truth database augmentation is not '
@@ -255,6 +262,17 @@ class Config:
         if self.DTYPE not in ('bfloat16', 'float32'):
             raise ValueError(f'DTYPE must be bfloat16|float32, '
                              f'got {self.DTYPE!r}')
+        if not self.RCNN.ROI_SAMPLE_JIT:
+            raise NotImplementedError(
+                'ROI_SAMPLE_JIT=False (offline RCNN training from cached '
+                'RoIs, reference kitti_dataset.py:396-424) is not '
+                'implemented; RoI sampling always runs inside the jitted '
+                'train step here')
+        if self.REID.LOSS_LINK != 'L1' or self.REID.LOSS_SE != 'L1':
+            raise NotImplementedError(
+                'only L1 link/se losses exist (the reference raises '
+                'NotImplementedError for anything else too, '
+                'train_functions.py:312-319)')
 
     def mode_cfg(self, mode: str):
         """Dynamic per-mode lookup, replacing the reference `cfg[self.mode]` pattern

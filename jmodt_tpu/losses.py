@@ -96,7 +96,8 @@ def get_reg_loss(cls_score: jnp.ndarray,
     :param pred_reg: (N, C)
     :param reg_label: (N, 7) [dx, dy, dz, h, w, l, ry]
     :param fg_mask: (N,) bool — rows that contribute
-    :param anchor_size: (3,)
+    :param anchor_size: (3,) class mean size, or (N, 3) per-row RoI sizes
+        (cfg.RCNN.SIZE_RES_ON_ROI)
     """
     per_loc_bin_num = int(loc_scope / loc_bin_size) * 2
     loc_y_bin_num = int(loc_y_scope / loc_y_bin_size) * 2
@@ -188,15 +189,18 @@ def get_reg_loss(cls_score: jnp.ndarray,
     loss_ry_res = masked_mean(smooth_l1(pred_ry_res, ry_res_norm_label), fg_mask)
     angle_loss = loss_ry_bin + loss_ry_res
 
-    # size (loss_utils.py:227-233)
+    # size (loss_utils.py:227-233).  anchor_size may be (3,) — the class
+    # mean box — or (N, 3) per-row RoI sizes (SIZE_RES_ON_ROI,
+    # train_functions.py:245-246)
     size_res_l, size_res_r = ry_res_r, ry_res_r + 3
     assert pred_reg.shape[1] == size_res_r, f'{pred_reg.shape[1]} vs {size_res_r}'
-    size_norm_label = (reg_label[:, 3:6] - anchor_size[None, :]) / anchor_size[None, :]
+    anchor = jnp.broadcast_to(anchor_size, reg_label[:, 3:6].shape)
+    size_norm_label = (reg_label[:, 3:6] - anchor) / anchor
     size_res_norm = pred_reg[:, size_res_l:size_res_r]
     size_loss = masked_mean(jnp.mean(smooth_l1(size_res_norm, size_norm_label), axis=1), fg_mask)
 
     # soft-IoU loss (loss_utils.py:235-347)
-    pred_size = size_res_norm * anchor_size[None, :] + anchor_size[None, :]  # hwl
+    pred_size = size_res_norm * anchor + anchor  # hwl
     tar_size = reg_label[:, 3:6]
 
     if iou_loss_type == 'raw':

@@ -132,12 +132,16 @@ def rcnn_loss_fn(cfg: Config, output: Dict[str, Any]
             raise NotImplementedError(cfg.RCNN.LOSS_CLS)
 
         fg_mask = (targets.reg_valid_mask > 0) & reg_finite & cls_finite
+        # SIZE_RES_ON_ROI: size residuals anchored on each RoI's own hwl
+        # instead of the class mean (train_functions.py:245-246)
+        anchor = (targets.roi_boxes3d[:, 3:6] if cfg.RCNN.SIZE_RES_ON_ROI
+                  else jnp.asarray(cfg.mean_size))
         reg_out = get_reg_loss(
             cls_score=jax.nn.sigmoid(cls_flat),
             pred_reg=reg, reg_label=targets.gt_of_rois, fg_mask=fg_mask,
             loc_scope=cfg.RCNN.LOC_SCOPE, loc_bin_size=cfg.RCNN.LOC_BIN_SIZE,
             num_head_bin=cfg.RCNN.NUM_HEAD_BIN,
-            anchor_size=jnp.asarray(cfg.mean_size),
+            anchor_size=anchor,
             get_xz_fine=True, get_y_by_bin=cfg.RCNN.LOC_Y_BY_BIN,
             loc_y_scope=cfg.RCNN.LOC_Y_SCOPE,
             loc_y_bin_size=cfg.RCNN.LOC_Y_BIN_SIZE,

@@ -48,3 +48,20 @@ def test_dotted_overrides():
     assert cfg.RCNN.SA_CONFIG.NPOINTS == (64, 16, -1)
     # original untouched (immutability)
     assert Config().RPN.FIXED
+
+
+def test_unimplemented_knobs_fail_loudly():
+    import dataclasses
+    import pytest
+    from jmodt_tpu.config import Config
+    base = Config()
+    with pytest.raises(NotImplementedError):
+        dataclasses.replace(base, GT_AUG_ENABLED=True)
+    with pytest.raises(NotImplementedError):
+        dataclasses.replace(
+            base, RCNN=dataclasses.replace(base.RCNN, ROI_SAMPLE_JIT=False))
+    with pytest.raises(NotImplementedError):
+        dataclasses.replace(
+            base, REID=dataclasses.replace(base.REID, LOSS_LINK='L2'))
+    with pytest.raises(ValueError):
+        dataclasses.replace(base, DTYPE='fp8')

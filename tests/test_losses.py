@@ -93,3 +93,47 @@ def test_smooth_l1_branches():
     d = jnp.asarray([0.5, 2.0])
     np.testing.assert_allclose(np.asarray(smooth_l1(d, jnp.zeros(2))),
                                [0.125, 1.5])
+
+
+def test_per_row_anchor_size_res_on_roi():
+    """SIZE_RES_ON_ROI (train_functions.py:245-246): get_reg_loss accepts
+    (N, 3) per-row anchors; encoding each row's size residuals against its
+    own anchor still zeroes the size loss, and per-row anchors equal to the
+    mean reproduce the (3,)-anchor result exactly."""
+    mean = np.array([1.52, 1.63, 3.88], np.float32)
+    rng = np.random.RandomState(1)
+    n = 8
+    anchors = mean * rng.uniform(0.7, 1.3, (n, 3)).astype(np.float32)
+    targets = np.zeros((n, 7), np.float32)
+    targets[:, 0] = rng.uniform(-1.2, 1.2, n)
+    targets[:, 1] = rng.uniform(-0.3, 0.3, n)
+    targets[:, 2] = rng.uniform(-1.2, 1.2, n)
+    targets[:, 3:6] = anchors * rng.uniform(0.9, 1.1, (n, 3))
+    targets[:, 6] = rng.uniform(-np.pi / 4 + 0.05, np.pi / 4 - 0.05, n)
+    reg = np.stack([perfect_reg_vector(t, a)
+                    for t, a in zip(targets, anchors)])
+    out = get_reg_loss(
+        cls_score=jnp.ones(n), pred_reg=jnp.asarray(reg),
+        reg_label=jnp.asarray(targets), fg_mask=jnp.ones(n, bool),
+        loc_scope=1.5, loc_bin_size=0.5, num_head_bin=9,
+        anchor_size=jnp.asarray(anchors), get_ry_fine=True,
+        use_cls_score=True, iou_loss_type='raw')
+    assert float(out.size_loss) < 1e-6
+    assert float(out.iou_loss) < 1e-2
+
+    # (N, 3) anchors all equal to the mean == (3,) mean anchor, bit for bit
+    reg_m = np.stack([perfect_reg_vector(t, mean) for t in targets])
+    a = get_reg_loss(
+        cls_score=jnp.ones(n), pred_reg=jnp.asarray(reg_m),
+        reg_label=jnp.asarray(targets), fg_mask=jnp.ones(n, bool),
+        loc_scope=1.5, loc_bin_size=0.5, num_head_bin=9,
+        anchor_size=jnp.asarray(mean), get_ry_fine=True,
+        use_cls_score=True, iou_loss_type='raw')
+    b = get_reg_loss(
+        cls_score=jnp.ones(n), pred_reg=jnp.asarray(reg_m),
+        reg_label=jnp.asarray(targets), fg_mask=jnp.ones(n, bool),
+        loc_scope=1.5, loc_bin_size=0.5, num_head_bin=9,
+        anchor_size=jnp.asarray(np.tile(mean, (n, 1))), get_ry_fine=True,
+        use_cls_score=True, iou_loss_type='raw')
+    assert float(a.size_loss) == float(b.size_loss)
+    assert float(a.iou_loss) == float(b.iou_loss)
