@@ -6,7 +6,15 @@ merges whatever subtrees match the model and reports missing/unexpected keys
 — this is what lets a detection-only checkpoint bootstrap the link/se
 finetune (reference load_checkpoint strict=False, train_utils.py:31-47).
 
-Serialization is flax msgpack (framework-native, single file, no torch).
+Two serialization backends:
+  * flax msgpack (default): single `.ckpt` file, framework-native, no
+    torch — the parity path.
+  * orbax (`AsyncCheckpointWriter`): a `.orbax` directory written by an
+    `ocp.AsyncCheckpointer` — the save returns as soon as the device
+    arrays are snapshotted and IO proceeds in the background, so a large
+    checkpoint never stalls the train loop.  `load_checkpoint` dispatches
+    on what exists on disk; both formats restore through the same
+    strict=False merge.
 """
 
 from __future__ import annotations
@@ -36,14 +44,57 @@ def checkpoint_state(variables: Any, opt_state: Any = None,
                                 if opt_state is not None else None)}
 
 
-def save_checkpoint(state: dict, filename: str) -> str:
+def save_checkpoint(state: dict, filename: str, writer: Any = None) -> str:
     """Write `<filename>.ckpt` (reference save_checkpoint,
-    train_utils.py:26-28)."""
+    train_utils.py:26-28), or — when an `AsyncCheckpointWriter` is given —
+    `<filename>.orbax/` asynchronously."""
+    if writer is not None:
+        return writer.save(state, filename)
     path = filename + '.ckpt'
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     with open(path, 'wb') as f:
         f.write(flax.serialization.msgpack_serialize(state))
     return path
+
+
+class AsyncCheckpointWriter:
+    """Orbax-backed async checkpoint writer.
+
+    `save()` snapshots the arrays and returns; serialization + IO run on
+    orbax's background thread.  Call `wait()` before reading the
+    checkpoint back or exiting the process.  Repeated saves are serialized
+    by orbax internally (a new save waits for the previous one).
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+
+    def save(self, state: dict, filename: str) -> str:
+        path = os.path.abspath(filename + '.orbax')
+        os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        # epoch/it ride along as arrays; None optimizer_state is dropped
+        # (orbax rejects None leaves) and restored as absent
+        payload = {k: v for k, v in state.items() if v is not None}
+        payload = jax.tree_util.tree_map(np.asarray, payload)
+        self._ckptr.save(path, args=self._ocp.args.PyTreeSave(payload),
+                         force=True)
+        return path
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
+    def close(self):
+        self._ckptr.wait_until_finished()
+        self._ckptr.close()
+
+
+def _orbax_restore(path: str) -> dict:
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.abspath(path))
+    return dict(state)
 
 
 def _merge_into(template: Any, saved: Any, path: str,
@@ -91,12 +142,24 @@ def load_checkpoint(filename: str, variables_template: Any,
     :return: (variables, opt_state or None, it, epoch)
     """
     log = log or logger
-    path = filename if filename.endswith('.ckpt') else filename + '.ckpt'
-    if not os.path.isfile(path):
-        raise FileNotFoundError(path)
+    if filename.endswith(('.ckpt', '.orbax')):
+        path = filename
+    elif os.path.isfile(filename + '.ckpt'):
+        path = filename + '.ckpt'
+    elif os.path.isdir(filename + '.orbax'):
+        path = filename + '.orbax'
+    else:
+        raise FileNotFoundError(filename + '.ckpt')
     log.info("==> Loading from checkpoint '%s'", path)
-    with open(path, 'rb') as f:
-        state = flax.serialization.msgpack_restore(f.read())
+    if path.endswith('.orbax'):
+        if not os.path.isdir(path):
+            raise FileNotFoundError(path)
+        state = _orbax_restore(path)
+    else:
+        if not os.path.isfile(path):
+            raise FileNotFoundError(path)
+        with open(path, 'rb') as f:
+            state = flax.serialization.msgpack_restore(f.read())
 
     template_dict = flax.serialization.to_state_dict(variables_template)
     missing, loaded = [], []

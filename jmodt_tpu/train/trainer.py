@@ -46,7 +46,11 @@ class Trainer:
 
     def __init__(self, cfg: Config, model, state: TrainState, tx,
                  ckpt_dir: str, tb_log=None, eval_frequency: int = 1,
-                 mesh=None, log: Optional[logging.Logger] = None):
+                 mesh=None, log: Optional[logging.Logger] = None,
+                 ckpt_writer=None):
+        # optional checkpoint.AsyncCheckpointWriter: per-epoch saves then
+        # overlap the next epoch's compute (orbax background IO)
+        self.ckpt_writer = ckpt_writer
         self.cfg = cfg
         self.model = model
         if mesh is not None:
@@ -152,7 +156,8 @@ class Trainer:
             save_checkpoint(checkpoint_state(
                 {'params': self.state.params,
                  'batch_stats': self.state.batch_stats},
-                self.state.opt_state, trained_epoch, it), ckpt_name)
+                self.state.opt_state, trained_epoch, it), ckpt_name,
+                writer=self.ckpt_writer)
 
             if val_loader_fn is not None and (epoch % self.eval_frequency
                                               == 0):
@@ -187,7 +192,10 @@ class Trainer:
                 save_checkpoint(checkpoint_state(
                     {'params': self.state.params,
                      'batch_stats': self.state.batch_stats}),
-                    os.path.join(self.ckpt_dir, 'best_model'))
+                    os.path.join(self.ckpt_dir, 'best_model'),
+                    writer=self.ckpt_writer)
+        if self.ckpt_writer is not None:
+            self.ckpt_writer.wait()
         return self.state
 
 

@@ -81,6 +81,9 @@ def main():
                              'parity; coordinator from env vars)')
     parser.add_argument('--small', action='store_true',
                         help='miniature config for smoke runs')
+    parser.add_argument('--async_ckpt', action='store_true',
+                        help='write checkpoints with the orbax async '
+                             'writer (.orbax dirs; IO overlaps training)')
     parser.add_argument('--synthetic_pairs', type=int, default=16,
                         help='pairs per synthetic epoch (no --data_root)')
     parser.add_argument('--set', dest='set_cfgs', default=None,
@@ -186,8 +189,14 @@ def main():
 
     ckpt_dir = os.path.join(args.output_dir, 'ckpt')
     os.makedirs(ckpt_dir, exist_ok=True)
+    ckpt_writer = None
+    if args.async_ckpt:
+        from jmodt_tpu.train.checkpoint import AsyncCheckpointWriter
+        ckpt_writer = AsyncCheckpointWriter()
+        logger.info('async orbax checkpointing enabled')
     trainer = Trainer(cfg, model, state, tx, ckpt_dir=ckpt_dir,
-                      tb_log=tb_log, mesh=mesh, log=logger)
+                      tb_log=tb_log, mesh=mesh, log=logger,
+                      ckpt_writer=ckpt_writer)
     logger.info('*************** Start training ***************')
     trainer.train(it, start_epoch, cfg.TRAIN.EPOCHS, train_loader_fn,
                   val_loader_fn)
