@@ -75,18 +75,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, key: Optional[str] = None) -> NamedSharding:
-    """Sharding for one batch field: batch dim over `data`, plus — on a
-    2-D mesh — the field's point/width dim over `points`."""
+def batch_sharding(mesh: Mesh, key: Optional[str] = None,
+                   axis: str = DATA_AXIS) -> NamedSharding:
+    """Sharding for one batch field: batch dim over `axis` (default
+    `data`), plus — on a 2-D mesh — the field's point/width dim over
+    `points`."""
     if POINTS_AXIS not in mesh.axis_names or key not in _POINT_DIMS:
-        return NamedSharding(mesh, P(DATA_AXIS))
+        return NamedSharding(mesh, P(axis))
     dim = _POINT_DIMS[key]
-    spec = [DATA_AXIS] + [None] * (dim - 1) + [POINTS_AXIS]
+    spec = [axis] + [None] * (dim - 1) + [POINTS_AXIS]
     return NamedSharding(mesh, P(*spec))
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
-    """Place every array in `batch` on the mesh: leading dim over `data`,
+    """Place every array in `batch` on the mesh: leading dim over `axis`,
     and (2-D mesh, known point fields) the point dim over `points`.
 
     Sharded dims must be divisible by their mesh-axis size; the data
@@ -94,7 +96,7 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     are already the design rule, SURVEY.md §7).
     """
     if isinstance(batch, dict):
-        return {k: jax.device_put(v, batch_sharding(mesh, k))
+        return {k: jax.device_put(v, batch_sharding(mesh, k, axis))
                 for k, v in batch.items()}
     sharding = data_parallel_sharding(mesh, axis)
     return jax.tree_util.tree_map(

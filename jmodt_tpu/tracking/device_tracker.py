@@ -13,12 +13,12 @@ analog of the reference's "long context": O(1) device state per track,
 fixed padded shapes, zero recompilation across a sequence (SURVEY.md §5).
 
 Semantics mirror the host `Tracker` with the Hungarian branch's gating
-(score_thresh / match_thresh), with one deliberate deviation: assignment is
-greedy best-first on the gated combined affinity instead of an exact
-Hungarian/MIP optimum.  For MOT affinities (IoU + center distance dominate,
-w_iou = w_dis = 10 vs w_app = 2) the greedy and optimal matchings differ
-only in pathological tie configurations; the exact solvers remain available
-in `jmodt_tpu.tracking.tracker` / `data_association` as the parity path.
+(score_thresh / match_thresh).  Assignment defaults to an EXACT on-device
+Jonker-Volgenant solve (`_lap_assign`, identical solutions to the host
+scipy Hungarian); `assign='greedy'` selects the cheaper best-first variant
+that can differ in conflict configurations.  The start/end-aware MIP
+formulation remains host-only in `jmodt_tpu.tracking.tracker` /
+`data_association` as the parity path.
 
 Kalman semantics (constant velocity, orientation wrap + acute-angle
 correction) follow /root/reference/jmodt/tracking/kalman.py:5-104, made
@@ -179,7 +179,14 @@ def _lap_assign(affinity, match_thresh):
     (track->det (T,) int32 with -1 unmatched, det->track (D,))."""
     t, d = affinity.shape
     assert t >= d, 'lap assumes at least as many track slots as dets'
-    big = 1e9      # finite stand-in for gated pairs (filtered at the end)
+    # Finite stand-in for gated pairs (filtered at the end).  MUST stay
+    # small relative to f32 precision: once an augmenting path ends in a
+    # gated column the dual update subtracts ~big from scanned columns,
+    # and f32's ulp at 1e9 (~64) would exceed the whole affinity range
+    # (~22 = w_app + w_iou + w_dis), silently corrupting later
+    # relaxations.  At 1e4 the ulp is ~1e-3 — far below any meaningful
+    # affinity gap.  (Found by differential test with many gated rows.)
+    big = 1e4
     inf = 1e30     # scan mask
     aff = jnp.where(jnp.isfinite(affinity), affinity, -big)
     cost = -aff.T  # (D, T): rows = detections, minimize

@@ -74,10 +74,17 @@ class AsyncCheckpointWriter:
     def save(self, state: dict, filename: str) -> str:
         path = os.path.abspath(filename + '.orbax')
         os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
-        # epoch/it ride along as arrays; None optimizer_state is dropped
-        # (orbax rejects None leaves) and restored as absent
+        # None optimizer_state is dropped (orbax rejects None leaves) and
+        # restored as absent.  Device arrays pass through UNTOUCHED —
+        # orbax's async checkpointer snapshots and copies them to host on
+        # its background thread; a tree_map(np.asarray, ...) here would
+        # fetch every leaf synchronously and stall the train loop (the
+        # exact thing this writer exists to avoid).  Only non-array python
+        # scalars (epoch/it) are wrapped.
         payload = {k: v for k, v in state.items() if v is not None}
-        payload = jax.tree_util.tree_map(np.asarray, payload)
+        payload = jax.tree_util.tree_map(
+            lambda x: x if isinstance(x, (jax.Array, np.ndarray))
+            else np.asarray(x), payload)
         self._ckptr.save(path, args=self._ocp.args.PyTreeSave(payload),
                          force=True)
         return path

@@ -13,8 +13,10 @@ from jmodt_tpu.tracking.device_tracker import _greedy_assign, _lap_assign
 
 def hungarian_pairs(aff, match_thresh):
     """Host reference (data_association.hungarian_match semantics): gated
-    pairs become a large negative cost, solve, then drop <= thresh."""
-    filled = np.where(np.isfinite(aff), aff, -1e9)
+    pairs become a large negative cost (the same -1e4 fill the device
+    solver uses — values past f32 dual precision corrupt BOTH solvers),
+    solve, then drop <= thresh."""
+    filled = np.where(np.isfinite(aff), aff, -1e4)
     r, c = linear_sum_assignment(filled, maximize=True)
     keep = filled[r, c] > match_thresh
     return set(zip(r[keep].tolist(), c[keep].tolist()))
@@ -35,11 +37,39 @@ def test_lap_total_value_is_optimal(t, d):
             aff = np.where(rng.rand(t, d) < 0.5, aff, -np.inf)
         got = lap_pairs(aff, match_thresh=-2e9)
         want = hungarian_pairs(aff, match_thresh=-2e9)
-        filled = np.where(np.isfinite(aff), aff, -1e9)
+        filled = np.where(np.isfinite(aff), aff, -1e4)
         got_val = sum(filled[p] for p in got)
         want_val = sum(filled[p] for p in want)
         assert len(got) == d
-        assert got_val == pytest.approx(want_val, abs=1e-3)
+        assert got_val == pytest.approx(want_val, abs=1e-2)
+
+
+def test_lap_optimal_with_unmatchable_dets():
+    """The realistic hard case: only a few ACTIVE track slots (the rest
+    gated to -inf, like an early or crowded frame) and more valid
+    detections than compatible tracks, so some augmenting path must end in
+    a gated column.  With a too-large gated fill this corrupts the f32
+    duals and the solver silently returns suboptimal matchings (the bug
+    this test pins); the real-affinity part of the solution must stay
+    optimal."""
+    rng = np.random.RandomState(7)
+    mismatches = 0
+    for trial in range(200):
+        t, d = 64, rng.randint(3, 17)
+        n_active = rng.randint(1, min(4, d) + 1)
+        aff = np.full((t, d), -np.inf)
+        # active tracks see a random ~70% of the detections
+        for ti in range(n_active):
+            for di in range(d):
+                if rng.rand() < 0.7:
+                    aff[ti, di] = rng.uniform(0, 20)
+        got = lap_pairs(aff, match_thresh=0.0)
+        want = hungarian_pairs(aff, match_thresh=0.0)
+        got_val = sum(aff[p] for p in got)
+        want_val = sum(aff[p] for p in want)
+        if not np.isclose(got_val, want_val, atol=1e-2):
+            mismatches += 1
+    assert mismatches == 0, f'{mismatches}/200 suboptimal matchings'
 
 
 def test_lap_exact_match_on_separated_affinities():

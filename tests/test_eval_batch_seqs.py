@@ -54,7 +54,7 @@ def run_eval_tracking(base, out_dir, **flags):
         data_root=None, det_output=str(base), output_dir=str(out_dir),
         ckpt=None, tag='t', hungarian=False, device_tracker=True,
         batch_seqs=False, only_tracking=True, test=False,
-        synthetic_frames=N_FRAMES, small=True)
+        synthetic_frames=N_FRAMES, small=True, max_dets=32, max_tracks=64)
     defaults.update(flags)
     args = types.SimpleNamespace(**defaults)
     logger = logging.getLogger('eval_test')

@@ -52,7 +52,8 @@ def test_full_ladder(fake_kitti, tmp_path):  # noqa: F811
         data_root=str(root), det_output=str(tmp_path / 'det'),
         output_dir=str(tmp_path / 'out'), ckpt=None, tag='ladder',
         hungarian=False, device_tracker=True, batch_seqs=True,
-        only_tracking=False, test=False, synthetic_frames=0, small=True)
+        only_tracking=False, test=False, synthetic_frames=0, small=True,
+        max_dets=32, max_tracks=64)
 
     # ---- stage 1: detection + writers + recall + official AP ----
     mod.eval_joint_detection(args, cfg, logger)

@@ -205,6 +205,7 @@ def _track_sequences_batched(args, cfg, logger, seq_list, seq2sample,
 
     # preload every sequence's detections (host IO outside the timed loop)
     seq_frames = []  # per seq: list of (frame_id, boxes, scores, feats, objs)
+    dropped = 0
     for seq_id in seq_list:
         frames = []
         for sample_id in seq2sample.get(seq_id, []):
@@ -219,9 +220,14 @@ def _track_sequences_batched(args, cfg, logger, seq_list, seq2sample,
             boxes = np.stack([o.box3d for o in objs])
             scores = np.array([o.score for o in objs], np.float32)
             mask = scores > cls_thresh
+            dropped += max(int(mask.sum()) - max_dets, 0)
             frames.append((int(sample2frame[sample_id][1]), boxes[mask],
                            scores[mask], feats[mask], objs[mask]))
         seq_frames.append(frames)
+    if dropped:
+        logger.warning('--batch_seqs: %d detections above cls_thresh '
+                       'dropped by the max_dets=%d cap (raise --max_dets)',
+                       dropped, max_dets)
 
     n_seq = len(seq_list)
     max_len = max((len(f) for f in seq_frames), default=0)
@@ -256,17 +262,17 @@ def _track_sequences_batched(args, cfg, logger, seq_list, seq2sample,
     jax.block_until_ready(states)
     total_time = time.perf_counter() - t0
 
-    # fetch + write outside the timed region
+    # ONE bulk fetch outside the timed region (per-value fetches cost
+    # ~35 ms+ each on the relay — CLAUDE.md), then pure-host writes
+    outs = jax.device_get(outs)
     for s, seq_id in enumerate(seq_list):
         out_path = os.path.join(tracking_res_dir, f'{seq_id}.txt')
         with open(out_path, 'w') as out_file:
             for t in range(len(seq_frames[s])):
                 out = outs[t]
                 frame_id, _, _, _, objs = seq_frames[s][t]
-                emit = np.asarray(out['emit'][s])
-                tid = np.asarray(out['tid'][s])
-                det_idx = np.asarray(out['det_idx'][s])
-                score = np.asarray(out['score'][s])
+                emit, tid = out['emit'][s], out['tid'][s]
+                det_idx, score = out['det_idx'][s], out['score'][s]
                 results = [
                     (int(tid[i]), objs[int(det_idx[i])], float(score[i]))
                     for i in np.flatnonzero(emit)
@@ -313,6 +319,7 @@ def eval_tracking(args, cfg, logger):
         feat_dim = cfg.RCNN.SA_CONFIG.MLPS[-1][-1]
         car_tracker = DeviceTracker(
             link_head.apply, link_params, feat_dim=feat_dim,
+            max_tracks=args.max_tracks, max_dets=args.max_dets,
             t_miss=t_miss, t_hit=t_hit, w_app=w_app, w_iou=w_iou,
             w_dis=w_dis, score_thresh=cls_thresh,
             match_thresh=match_thresh)
@@ -349,7 +356,8 @@ def eval_tracking(args, cfg, logger):
             args, cfg, logger, seq_list, seq2sample, sample2frame,
             link_head, link_params, tracking_res_dir,
             t_miss=t_miss, t_hit=t_hit, w_app=w_app, w_iou=w_iou,
-            w_dis=w_dis, cls_thresh=cls_thresh, match_thresh=match_thresh)
+            w_dis=w_dis, cls_thresh=cls_thresh, match_thresh=match_thresh,
+            max_dets=args.max_dets, max_tracks=args.max_tracks)
         fps = total_frames / total_time if total_time > 0 else float('nan')
         logger.info('total frames: %d, total time: %.3f, frames per '
                     'second: %.1f', total_frames, total_time, fps)
@@ -429,6 +437,12 @@ def main():
                         help='track ALL sequences in lockstep with the '
                              'vmapped device tracker (offline throughput '
                              'mode; implies the device tracker)')
+    parser.add_argument('--max_dets', type=int, default=32,
+                        help='device-tracker per-frame detection cap '
+                             '(above-threshold extras are dropped, with a '
+                             'warning)')
+    parser.add_argument('--max_tracks', type=int, default=64,
+                        help='device-tracker track-slot capacity')
     parser.add_argument('--only_tracking', action='store_true')
     parser.add_argument('--test', action='store_true')
     parser.add_argument('--synthetic_frames', type=int, default=8)
