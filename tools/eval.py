@@ -262,17 +262,20 @@ def _track_sequences_batched(args, cfg, logger, seq_list, seq2sample,
     jax.block_until_ready(states)
     total_time = time.perf_counter() - t0
 
-    # ONE bulk fetch outside the timed region (per-value fetches cost
-    # ~35 ms+ each on the relay — CLAUDE.md), then pure-host writes
-    outs = jax.device_get(outs)
+    # Fetch outside the timed region, and FEW fetches: stack each output
+    # key over time on device, then one host transfer per key (5 total) —
+    # per-value fetches cost ~35 ms+ each on the relay (CLAUDE.md), so
+    # per-(seq, frame) fetches would take minutes on a real split.
+    stacked = {k: np.asarray(jnp.stack([o[k] for o in outs]))
+               for k in outs[0]}  # (L, S, ...) each
     for s, seq_id in enumerate(seq_list):
         out_path = os.path.join(tracking_res_dir, f'{seq_id}.txt')
         with open(out_path, 'w') as out_file:
             for t in range(len(seq_frames[s])):
-                out = outs[t]
                 frame_id, _, _, _, objs = seq_frames[s][t]
-                emit, tid = out['emit'][s], out['tid'][s]
-                det_idx, score = out['det_idx'][s], out['score'][s]
+                emit, tid = stacked['emit'][t, s], stacked['tid'][t, s]
+                det_idx = stacked['det_idx'][t, s]
+                score = stacked['score'][t, s]
                 results = [
                     (int(tid[i]), objs[int(det_idx[i])], float(score[i]))
                     for i in np.flatnonzero(emit)
