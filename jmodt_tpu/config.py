@@ -94,6 +94,10 @@ class RPNConfig:
     # neighborhood tensors dominate training HBM (O(M*N) per level);
     # recomputing them trades cheap VPU work for gigabytes of residuals
     REMAT: bool = True
+    # route the backbone's FPS through the Pallas VMEM kernel
+    # (ops/pallas/fps.py) instead of the XLA lax.scan version; A/B'd on the
+    # real chip in bench.py (PARITY.md records the numbers)
+    USE_PALLAS_FPS: bool = False
 
 
 @dataclass(frozen=True)

@@ -95,23 +95,40 @@ def image_box_overlap(boxes: np.ndarray, query_boxes: np.ndarray,
     return np.where(inter > 0, inter / ua, 0.0)
 
 
+_overlap_jit = None
+
+
 def rotate_iou_eval(boxes: np.ndarray, qboxes: np.ndarray,
                     criterion: int = -1) -> np.ndarray:
     """Rotated BEV overlap matrix with the reference's criterion semantics
-    (rotate_iou.py:249-261).  boxes: (N, 5) [cx, cy, x_d, y_d, angle]."""
+    (rotate_iou.py:249-261).  boxes: (N, 5) [cx, cy, x_d, y_d, angle].
+
+    Inputs are zero-padded to 32-multiples and pushed through ONE jitted
+    overlap program: per-frame calls (calculate_iou_partly makes one per
+    part) hit a handful of cached executables instead of re-dispatching the
+    polygon clip eagerly shape-by-shape."""
     if boxes.shape[0] == 0 or qboxes.shape[0] == 0:
         return np.zeros((boxes.shape[0], qboxes.shape[0]), np.float32)
     import jax
-    from jmodt_tpu.ops.rotated_iou import boxes_overlap_bev
+    global _overlap_jit
+    if _overlap_jit is None:
+        from jmodt_tpu.ops.rotated_iou import boxes_overlap_bev
+        _overlap_jit = jax.jit(boxes_overlap_bev)
 
-    def to_corner_fmt(b):
-        return np.stack([b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
-                         b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2,
-                         b[:, 4]], axis=1).astype(np.float32)
+    def to_corner_fmt(b, pad):
+        out = np.zeros((pad, 5), np.float32)
+        out[:len(b)] = np.stack(
+            [b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
+             b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2,
+             b[:, 4]], axis=1)
+        return out
 
+    n, k = boxes.shape[0], qboxes.shape[0]
+    npad, kpad = -(-n // 32) * 32, -(-k // 32) * 32
     with jax.default_device(jax.local_devices(backend='cpu')[0]):
-        inter = np.asarray(boxes_overlap_bev(to_corner_fmt(boxes),
-                                             to_corner_fmt(qboxes)))
+        inter = np.asarray(_overlap_jit(to_corner_fmt(boxes, npad),
+                                        to_corner_fmt(qboxes, kpad))
+                           )[:n, :k]
     area1 = (boxes[:, 2] * boxes[:, 3])[:, None]
     area2 = (qboxes[:, 2] * qboxes[:, 3])[None, :]
     if criterion == -1:

@@ -115,6 +115,7 @@ class PointNet2MSG(nn.Module):
                 use_xyz=self.use_xyz,
                 use_bn=cfg.RPN.USE_BN,
                 dtype=dtype,
+                use_pallas_fps=cfg.RPN.USE_PALLAS_FPS,
                 name=f'sa_{k}')(l_xyz[k], l_features[k], train)
 
             if use_fusion:

@@ -36,6 +36,7 @@ class SAModuleMSG(nn.Module):
     use_xyz: bool = True
     use_bn: bool = True
     dtype: Any = None
+    use_pallas_fps: bool = False
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False):
@@ -43,7 +44,8 @@ class SAModuleMSG(nn.Module):
         # geometry (FPS, ball query) always runs on f32 coordinates; only the
         # grouped-feature MLP compute drops to self.dtype
         if self.npoint is not None:
-            idx = farthest_point_sample(xyz, self.npoint)
+            idx = farthest_point_sample(xyz, self.npoint,
+                                        use_pallas=self.use_pallas_fps)
             new_xyz = gather_xyz(xyz, idx)
         else:
             idx = None

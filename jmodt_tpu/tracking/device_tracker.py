@@ -12,13 +12,26 @@ i's result overlaps the compute of frame i+1.  This is the TPU-native
 analog of the reference's "long context": O(1) device state per track,
 fixed padded shapes, zero recompilation across a sequence (SURVEY.md §5).
 
-Semantics mirror the host `Tracker` with the Hungarian branch's gating
-(score_thresh / match_thresh).  Assignment defaults to an EXACT on-device
-Jonker-Volgenant solve (`_lap_assign`, identical solutions to the host
-scipy Hungarian); `assign='greedy'` selects the cheaper best-first variant
-that can differ in conflict configurations.  The start/end-aware MIP
-formulation remains host-only in `jmodt_tpu.tracking.tracker` /
-`data_association` as the parity path.
+Assignment modes (`assign=`):
+
+  * 'mip' — EXACT equivalent of the reference's DEFAULT stage-2 path, the
+    start/end-aware MIP (reference tracker.py:104-124,
+    data_association.py:31-104), fully on device.  The flow-conservation
+    MIP decomposes exactly (proven in tests/test_mip_differential.py):
+    the optimum is the injective partial matching M maximizing
+        sum_{(j,k) in M} (cls_j + cls_k + link_jk)
+      + sum_{j not matched} max(0, cls_j + w_se*end_j)
+      + sum_{k not matched} max(0, cls_k + w_se*start_k)
+    which is a max-weight bipartite matching under the REDUCED weights
+        w_jk = cls_j + cls_k + link_jk - out_j - out_k,
+    solved by `_lap_assign` on a matrix augmented with one personal
+    zero-value dummy row per detection ("stay unmatched").  Verified
+    against the host `mip_solve` (HiGHS) in tests/test_device_mip.py.
+  * 'hungarian' (default) — exact Jonker-Volgenant on the combined
+    affinity, identical solutions to the host scipy path
+    (`--hungarian` branch, reference data_association.py:107-138).
+  * 'greedy' — cheaper best-first matching; can differ in conflict
+    configurations.
 
 Kalman semantics (constant velocity, orientation wrap + acute-angle
 correction) follow /root/reference/jmodt/tracking/kalman.py:5-104, made
@@ -257,6 +270,46 @@ def _lap_assign(affinity, match_thresh):
     return t2d, d2t
 
 
+def mip_assign(combined, pred_score, det_score, start, end, active,
+               det_mask, w_cls: float, w_se: float):
+    """On-device EXACT solve of the reference's data-association MIP
+    (reference ortools_solve, data_association.py:31-104) via the
+    outside-option decomposition (see module docstring; proven in
+    tests/test_mip_differential.py).
+
+    combined: (T, D) w_app*link + w_iou*iou + w_dis*dist; pred_score (T,),
+    det_score (D,), start (D,), end (T,) sigmoid scores; active (T,) /
+    det_mask (D,) validity.  Returns (t2d (T,) int32 with -1 unmatched,
+    d2t (D,) int32 with -1 unmatched, live_new (D,) bool — True where an
+    unmatched det's y_det/y_new is 1 in the MIP, i.e. it starts a LIVE
+    track; False -> tentative, matching the host classification at
+    data_association.py:77-79).
+    """
+    t, d = combined.shape
+    cls_t = w_cls * (pred_score - 1.0)
+    cls_d = w_cls * (det_score - 1.0)
+    out_t = jnp.maximum(0.0, cls_t + w_se * end)      # (T,)
+    out_d = jnp.maximum(0.0, cls_d + w_se * start)    # (D,)
+    w = (combined + cls_t[:, None] + cls_d[None, :]
+         - out_t[:, None] - out_d[None, :])
+    pair_ok = active[:, None] & det_mask[None, :]
+    w = jnp.where(pair_ok, w, -jnp.inf)
+    # one personal zero-value dummy row per det: "stay unmatched" always
+    # available, so the LAP never force-matches a negative-w pair (plain
+    # -big gating + post-filter is NOT equivalent: a det whose only real
+    # options are negative would push a rival det off its best pair)
+    dummy = jnp.where(jnp.eye(d, dtype=bool) & det_mask[None, :],
+                      0.0, -jnp.inf)
+    aug = jnp.concatenate([w, dummy], axis=0)          # (T+D, D)
+    # threshold 0: optimum never contains w<0 pairs (the dummy dominates);
+    # dummy matches sit at exactly 0 and are filtered to "unmatched"
+    t2d_aug, d2t_aug = _lap_assign(aug, 0.0)
+    t2d = t2d_aug[:t]
+    d2t = jnp.where(d2t_aug < t, d2t_aug, -1)
+    live_new = det_mask & (d2t < 0) & (cls_d + w_se * start > 0)
+    return t2d, d2t, live_new
+
+
 def _greedy_assign(affinity, match_thresh):
     """Best-first bipartite matching on a gated affinity matrix.
     affinity (T, D) with -inf for invalid pairs; returns
@@ -287,6 +340,8 @@ def make_device_tracker_step(link_apply: Callable, t_miss: int = 2,
                              score_thresh: float = 0.0,
                              match_thresh: float = 0.0,
                              assign: str = 'hungarian',
+                             se_apply: Callable = None,
+                             w_cls: float = 100.0, w_se: float = 1.0,
                              jit: bool = True) -> Callable:
     """Build the jitted per-frame step.
 
@@ -296,20 +351,28 @@ def make_device_tracker_step(link_apply: Callable, t_miss: int = 2,
     executable as constants, which this relay's program cache handles
     pathologically.
 
-    `assign`: 'hungarian' (default — exact on-device Jonker-Volgenant,
-    identical solutions to the host scipy path) or 'greedy' (best-first;
-    cheaper, can differ from Hungarian when assignments conflict).
+    `assign`: 'mip' (reference-default start/end MIP semantics, exact —
+    requires `se_apply`; the step's `params` argument becomes the tuple
+    `(link_params, se_params)`), 'hungarian' (default — exact on-device
+    Jonker-Volgenant, identical solutions to the host scipy path) or
+    'greedy' (best-first; cheaper, can differ when assignments conflict).
 
     step(state, frame_id (), det_boxes (D, 7), det_scores (D,),
-         det_feats (D, C), det_mask (D,), link_params) -> (state, output)
+         det_feats (D, C), det_mask (D,), params) -> (state, output)
     where output is a dict of fixed-shape arrays: 'tid' (T,), 'box' (T, 7),
     'score' (T,), 'det_idx' (T,), 'emit' (T,) bool.
     """
-    assert assign in ('hungarian', 'greedy'), assign
+    assert assign in ('mip', 'hungarian', 'greedy'), assign
+    if assign == 'mip':
+        assert se_apply is not None, "assign='mip' needs the se head"
     assign_fn = _lap_assign if assign == 'hungarian' else _greedy_assign
 
     def step(state: TrackerState, frame_id, det_boxes, det_scores,
-             det_feats, det_mask, link_params):
+             det_feats, det_mask, params):
+        if assign == 'mip':
+            link_params, se_params = params
+        else:
+            link_params = params
         tcap = state.tid.shape[0]
         active = state.tid > 0
         any_det = jnp.any(det_mask)
@@ -340,7 +403,27 @@ def make_device_tracker_step(link_apply: Callable, t_miss: int = 2,
         combined = jnp.where(
             pair_ok, link * w_app + iou * w_iou + dis * w_dis, -jnp.inf)
 
-        t2d, d2t = assign_fn(combined, match_thresh)
+        had_active = jnp.any(active)
+        if assign == 'mip':
+            # start/end features: masked cor means over preds/dets
+            # (reference tracker.py:104-110; host make_affinity_fn)
+            pw = active.astype(cor.dtype)
+            dw = det_mask.astype(cor.dtype)
+            start_feat = (jnp.sum(cor * pw[:, None, None], axis=0)
+                          / jnp.clip(jnp.sum(pw), 1.0, None))   # (D, C)
+            end_feat = (jnp.sum(cor * dw[None, :, None], axis=1)
+                        / jnp.clip(jnp.sum(dw), 1.0, None))     # (T, C)
+            start = jax.nn.sigmoid(se_apply(se_params, start_feat)[..., 0])
+            end = jax.nn.sigmoid(se_apply(se_params, end_feat)[..., 0])
+            t2d, d2t, live_new = mip_assign(
+                combined, state.score, det_scores, start, end, active,
+                det_mask, w_cls, w_se)
+            # with no live tracks the host births every det live
+            # (reference tracker.py:57-65 / our tracker.py:144-149)
+            tentative_new = had_active & ~live_new
+        else:
+            t2d, d2t = assign_fn(combined, match_thresh)
+            tentative_new = had_active & (det_scores <= score_thresh)
         matched_t = t2d >= 0
         safe_t2d = jnp.where(matched_t, t2d, 0)
 
@@ -360,9 +443,16 @@ def make_device_tracker_step(link_apply: Callable, t_miss: int = 2,
         tid = jnp.where(dead, 0, state.tid)
 
         # ---- births (reference tracker.py:131-143): unmatched dets;
-        # score > score_thresh -> live (misses 0), else tentative (1) ----
+        # live (misses 0) vs tentative (misses 1) per tentative_new.
+        # Id/slot order mirrors the host append order: live births first
+        # (in det order), then tentative (tracker.py:194-202) ----
         is_new = det_mask & (d2t < 0)
-        new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1   # (D,)
+        live_b = is_new & ~tentative_new
+        tent_b = is_new & tentative_new
+        n_live = jnp.sum(live_b.astype(jnp.int32))
+        rank_live = jnp.cumsum(live_b.astype(jnp.int32)) - 1
+        rank_tent = n_live + jnp.cumsum(tent_b.astype(jnp.int32)) - 1
+        new_rank = jnp.where(live_b, rank_live, rank_tent)    # (D,)
         free = tid == 0
         free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1    # (T,)
         # slot_of_rank[r] = index of the r-th free slot; non-free entries
@@ -385,8 +475,8 @@ def make_device_tracker_step(link_apply: Callable, t_miss: int = 2,
             mode='drop')
         feat = feat.at[dst].set(det_feats, mode='drop')
         score = score.at[dst].set(det_scores, mode='drop')
-        tentative = (det_scores <= score_thresh).astype(jnp.int32)
-        misses = misses.at[dst].set(tentative, mode='drop')
+        misses = misses.at[dst].set(tentative_new.astype(jnp.int32),
+                                    mode='drop')
         hits = hits.at[dst].set(0, mode='drop')
         det_idx = det_idx.at[dst].set(
             jnp.arange(det_boxes.shape[0], dtype=jnp.int32), mode='drop')
@@ -450,6 +540,8 @@ class DeviceTracker:
 
     def __init__(self, link_apply: Callable, link_params, feat_dim: int,
                  max_tracks: int = 64, max_dets: int = 32, **kw):
+        """For `assign='mip'` pass `se_apply=...` in kw and `link_params`
+        as the tuple `(link_params, se_params)`."""
         self.step = make_device_tracker_step(link_apply, **kw)
         self.link_params = link_params
         self.max_tracks = max_tracks

@@ -151,12 +151,22 @@ def load_checkpoint(filename: str, variables_template: Any,
     log = log or logger
     if filename.endswith(('.ckpt', '.orbax')):
         path = filename
-    elif os.path.isfile(filename + '.ckpt'):
-        path = filename + '.ckpt'
-    elif os.path.isdir(filename + '.orbax'):
-        path = filename + '.orbax'
     else:
-        raise FileNotFoundError(filename + '.ckpt')
+        # bare stem: when BOTH formats exist (e.g. a run switched to
+        # --async_ckpt in an existing ckpt_dir) pick the newer by mtime so
+        # a stale msgpack file can't shadow a fresher orbax directory
+        cands = []
+        if os.path.isfile(filename + '.ckpt'):
+            cands.append(filename + '.ckpt')
+        if os.path.isdir(filename + '.orbax'):
+            cands.append(filename + '.orbax')
+        if not cands:
+            raise FileNotFoundError(filename + '.ckpt')
+        if len(cands) == 2:
+            cands.sort(key=os.path.getmtime, reverse=True)
+            log.warning('both %s and %s exist; loading the newer %s',
+                        filename + '.ckpt', filename + '.orbax', cands[0])
+        path = cands[0]
     log.info("==> Loading from checkpoint '%s'", path)
     if path.endswith('.orbax'):
         if not os.path.isdir(path):

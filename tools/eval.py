@@ -183,6 +183,8 @@ def _track_sequences_batched(args, cfg, logger, seq_list, seq2sample,
                              sample2frame, link_head, link_params,
                              tracking_res_dir, t_miss, t_hit, w_app, w_iou,
                              w_dis, cls_thresh, match_thresh,
+                             se_head=None, se_params=None,
+                             w_cls: float = 100.0, w_se: float = 1.0,
                              max_dets: int = 32, max_tracks: int = 64):
     """All sequences tracked in LOCKSTEP on one chip: the per-frame device
     step is vmapped over a leading sequence axis
@@ -226,18 +228,29 @@ def _track_sequences_batched(args, cfg, logger, seq_list, seq2sample,
         seq_frames.append(frames)
     if dropped:
         logger.warning('--batch_seqs: %d detections above cls_thresh '
-                       'dropped by the max_dets=%d cap (raise --max_dets)',
-                       dropped, max_dets)
+                       'dropped by the max_dets=%d cap (raise --max_dets, '
+                       'keeping it <= --max_tracks)', dropped, max_dets)
 
     n_seq = len(seq_list)
     max_len = max((len(f) for f in seq_frames), default=0)
     if n_seq == 0 or max_len == 0:
         return 0.0, 0
 
-    step = make_batched_tracker_step(
-        link_head.apply, t_miss=t_miss, t_hit=t_hit, w_app=w_app,
-        w_iou=w_iou, w_dis=w_dis, score_thresh=cls_thresh,
-        match_thresh=match_thresh)
+    # default association = the reference's start/end MIP semantics
+    # (tracker.py:104-124), exactly solved on device; --hungarian selects
+    # the alternate branch, as in the host path
+    if args.hungarian:
+        step = make_batched_tracker_step(
+            link_head.apply, t_miss=t_miss, t_hit=t_hit, w_app=w_app,
+            w_iou=w_iou, w_dis=w_dis, score_thresh=cls_thresh,
+            match_thresh=match_thresh, assign='hungarian')
+        step_params = link_params
+    else:
+        step = make_batched_tracker_step(
+            link_head.apply, t_miss=t_miss, t_hit=t_hit, w_app=w_app,
+            w_iou=w_iou, w_dis=w_dis, assign='mip',
+            se_apply=se_head.apply, w_cls=w_cls, w_se=w_se)
+        step_params = (link_params, se_params)
     states = init_batched_state(n_seq, max_tracks, feat_dim)
 
     total_frames = sum(len(f) for f in seq_frames)
@@ -257,7 +270,7 @@ def _track_sequences_batched(args, cfg, logger, seq_list, seq2sample,
                 df[s, :n], dm[s, :n] = feats[:n], True
                 fid[s] = frame_id
         states, out = step(states, jnp.asarray(fid), db, ds, df, dm,
-                           link_params)
+                           step_params)
         outs.append(out)
     jax.block_until_ready(states)
     total_time = time.perf_counter() - t0
@@ -316,16 +329,26 @@ def eval_tracking(args, cfg, logger):
     se_params = {'params': rcnn_params['se_layer']}
 
     if args.device_tracker:
-        # fully on-device fast path (greedy assignment; see
-        # jmodt_tpu/tracking/device_tracker.py for semantics)
+        # fully on-device fast path; association defaults to the
+        # reference-default MIP semantics (exact, device-side) and honors
+        # --hungarian like the host path — see
+        # jmodt_tpu/tracking/device_tracker.py
         from jmodt_tpu.tracking.device_tracker import DeviceTracker
         feat_dim = cfg.RCNN.SA_CONFIG.MLPS[-1][-1]
-        car_tracker = DeviceTracker(
-            link_head.apply, link_params, feat_dim=feat_dim,
-            max_tracks=args.max_tracks, max_dets=args.max_dets,
-            t_miss=t_miss, t_hit=t_hit, w_app=w_app, w_iou=w_iou,
-            w_dis=w_dis, score_thresh=cls_thresh,
-            match_thresh=match_thresh)
+        if args.hungarian:
+            car_tracker = DeviceTracker(
+                link_head.apply, link_params, feat_dim=feat_dim,
+                max_tracks=args.max_tracks, max_dets=args.max_dets,
+                t_miss=t_miss, t_hit=t_hit, w_app=w_app, w_iou=w_iou,
+                w_dis=w_dis, score_thresh=cls_thresh,
+                match_thresh=match_thresh, assign='hungarian')
+        else:
+            car_tracker = DeviceTracker(
+                link_head.apply, (link_params, se_params),
+                feat_dim=feat_dim, max_tracks=args.max_tracks,
+                max_dets=args.max_dets, t_miss=t_miss, t_hit=t_hit,
+                w_app=w_app, w_iou=w_iou, w_dis=w_dis, assign='mip',
+                se_apply=se_head.apply, w_cls=w_cls, w_se=w_se)
     else:
         car_tracker = Tracker(link_head.apply, se_head.apply,
                               link_params, se_params, t_miss=t_miss,
@@ -360,6 +383,7 @@ def eval_tracking(args, cfg, logger):
             link_head, link_params, tracking_res_dir,
             t_miss=t_miss, t_hit=t_hit, w_app=w_app, w_iou=w_iou,
             w_dis=w_dis, cls_thresh=cls_thresh, match_thresh=match_thresh,
+            se_head=se_head, se_params=se_params, w_cls=w_cls, w_se=w_se,
             max_dets=args.max_dets, max_tracks=args.max_tracks)
         fps = total_frames / total_time if total_time > 0 else float('nan')
         logger.info('total frames: %d, total time: %.3f, frames per '
@@ -451,6 +475,11 @@ def main():
     parser.add_argument('--synthetic_frames', type=int, default=8)
     parser.add_argument('--small', action='store_true')
     args = parser.parse_args()
+    if args.max_dets > args.max_tracks:
+        # the exact device assignment needs at least as many track slots
+        # as detections (device_tracker._lap_assign asserts t >= d)
+        parser.error(f'--max_dets ({args.max_dets}) must be <= '
+                     f'--max_tracks ({args.max_tracks})')
 
     enable_compilation_cache()
     np.random.seed(2333)  # reference tools/eval.py:36
