@@ -138,6 +138,31 @@ def main():
     except Exception:
         flops_cost_analysis = 0.0
 
+    # apples-to-apples vs the reference baseline: its 0.01 s/frame is
+    # tracking ONLY (reference tools/eval.py:387-400) — time our tracker
+    # step standalone the same way (state-chained, fetch-synced slope)
+    from jmodt_tpu.tracking.device_tracker import make_device_tracker_step
+    trk = make_device_tracker_step(head.apply)
+    db = np.zeros((16, 7), np.float32)
+    db[:4, 3:6] = [1.5, 1.6, 3.9]
+    db[:4, 2] = [10, 20, 30, 40]
+    ds_ = np.zeros((16,), np.float32)
+    ds_[:4] = 0.9
+    df = np.random.RandomState(0).randn(16, feat_dim).astype(np.float32)
+    dm = np.arange(16) < 4
+    tsync = jax.jit(lambda s: jnp.sum(s.mean) + jnp.sum(s.score))
+
+    def trk_pass(n):
+        s = state0
+        t0 = time.perf_counter()
+        for i in range(n):
+            s, _ = trk(s, jnp.asarray(i + 1), db, ds_, df, dm, link_p)
+        float(tsync(s))
+        return time.perf_counter() - t0
+
+    trk_pass(2)
+    track_dt = min((trk_pass(100) - trk_pass(25)) / 75 for _ in range(2))
+
     dev = jax.devices()[0]
     kind = getattr(dev, 'device_kind', 'unknown')
     # bf16 dense peak per chip; f32 matmuls also run as bf16 MXU passes at
@@ -156,6 +181,8 @@ def main():
         'vs_baseline': round(BASELINE_S_PER_FRAME / dt, 2),
         'last_frame_track_rows': n_rows,
         'compute_ms_per_frame': round(compute_dt * 1e3, 3),
+        'tracking_only_ms_per_frame': round(track_dt * 1e3, 3),
+        'tracking_vs_baseline': round(BASELINE_S_PER_FRAME / track_dt, 2),
         'device_kind': str(kind),
         'flops_analytic': flops_analytic,
         'flops_cost_analysis': flops_cost_analysis,

@@ -94,10 +94,12 @@ class RPNConfig:
     # neighborhood tensors dominate training HBM (O(M*N) per level);
     # recomputing them trades cheap VPU work for gigabytes of residuals
     REMAT: bool = True
-    # route the backbone's FPS through the Pallas VMEM kernel
-    # (ops/pallas/fps.py) instead of the XLA lax.scan version; A/B'd on the
-    # real chip in bench.py (PARITY.md records the numbers)
-    USE_PALLAS_FPS: bool = False
+    # route the backbone/RCNN FPS through the Pallas VMEM kernel
+    # (ops/pallas/fps.py) instead of the XLA lax.scan version.  Default ON:
+    # measured round 3 (fetch-synced) 3.0 ms vs 28.8 ms per level-0 call,
+    # 53 ms vs 84 ms for the whole detect+track frame.  Non-TPU backends
+    # automatically fall back to the scan (ops/sampling.py).
+    USE_PALLAS_FPS: bool = True
 
 
 @dataclass(frozen=True)

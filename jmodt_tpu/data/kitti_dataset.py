@@ -278,9 +278,19 @@ class KittiDataset:
                           if len(far) > 0 else near_choice)
         else:
             choice = np.arange(len(pts_rect), dtype=np.int64)
+            if len(choice) == 0:
+                raise ValueError(
+                    'no lidar points survive the image/range filter '
+                    '(check calibration vs image size)')
             while self.npoints > len(choice):
-                extra = self.rng.choice(choice, self.npoints % len(choice),
-                                        replace=False)
+                # deviation: the reference pads npoints % len per round
+                # (kitti_dataset.py:244-247), which loops forever whenever
+                # len divides npoints (e.g. one valid point); padding by
+                # the remaining deficit is identical in the non-degenerate
+                # len <= npoints < 2*len case and always terminates
+                extra = self.rng.choice(
+                    choice, min(self.npoints - len(choice), len(choice)),
+                    replace=False)
                 choice = np.concatenate((choice, extra))
         self.rng.shuffle(choice)
 

@@ -127,6 +127,7 @@ class RCNN(nn.Module):
                 nsamples=(rc.SA_CONFIG.NSAMPLE[k],),
                 mlps=(tuple(rc.SA_CONFIG.MLPS[k]),),
                 use_xyz=self.use_xyz, use_bn=rc.USE_BN, dtype=dtype,
+                use_pallas_fps=cfg.RPN.USE_PALLAS_FPS,
                 name=f'sa_{k}')(l_xyz, l_feats, train)
         # (R, 512): GroupAll leaves one group; f32 from here on — the feature
         # feeds the ReID correlation + tracker affinities

@@ -4,13 +4,18 @@ TPU rewrite of the CUDA bitmask NMS (/root/reference/jmodt/ops/iou3d/src/
 iou3d_kernel.cu:250-387 plus the sequential host scan in iou3d.cpp:100-161 and
 the sort-by-score wrappers in iou3d_utils.py:444-475).
 
-Design change for XLA: instead of an N x N suppression bitmask followed by a
-host-side scan producing a variable-length keep list, we run `max_keep` rounds
-of "pick the best unsuppressed box, suppress its overlaps".  Each round costs
-one O(N) IoU row (computed on the fly — the N^2 matrix is never materialized)
-so total work is O(max_keep * N), and the output is a fixed-size index buffer
-plus a validity mask — the shape never depends on the data, so one compiled
-program serves every frame.
+Design change for XLA: fixed-size keep buffer + validity mask instead of a
+variable-length keep list (one compiled program serves every frame), and
+BLOCK-SPECULATIVE rounds instead of one box per round: each round takes the
+top-`block` surviving candidates, computes their IoU rows against all N
+boxes in one batched pass, resolves intra-block suppression with an
+unrolled triangular pass, and retires all `block` candidates definitively.
+Greedy NMS status depends only on strictly-higher-score kept boxes, so this
+is EXACTLY the one-at-a-time greedy result (verified in
+tests/test_point_ops.py) with ~block-times fewer sequential steps — the
+sequential dependency, not the IoU arithmetic, is what costs wall-clock on
+TPU (round-3 fetch-synced measurement: 3.45 ms at N=100/keep=100 for the
+one-per-round scan).
 
 Greedy NMS visits kept boxes in descending-score order, which is exactly the
 order this loop discovers them in, so the first `max_keep` entries equal the
@@ -28,23 +33,27 @@ import jax.numpy as jnp
 from jmodt_tpu.ops.rotated_iou import iou_bev_one_to_many, iou_normal_one_to_many
 
 
-@functools.partial(jax.jit, static_argnames=('max_keep', 'rotated'))
+@functools.partial(jax.jit,
+                   static_argnames=('max_keep', 'rotated', 'block'))
 def nms_bev(boxes: jnp.ndarray,
             scores: jnp.ndarray,
             thresh: float,
             max_keep: int,
             valid: jnp.ndarray | None = None,
-            rotated: bool = True):
+            rotated: bool = True,
+            block: int = 8):
     """Greedy BEV NMS with a fixed-size keep buffer.
 
     :param boxes: (N, 5) [x1, y1, x2, y2, ry]
     :param scores: (N,) raw scores (any monotone order key)
     :param thresh: IoU suppression threshold (strictly-greater suppresses,
         matching `> nms_overlap_thresh` at iou3d_kernel.cu:285,341)
-    :param max_keep: number of NMS rounds / size of the keep buffer
+    :param max_keep: size of the keep buffer
     :param valid: optional (N,) bool mask of live candidates (padding = False)
     :param rotated: True -> exact rotated IoU (nms_gpu); False -> axis-aligned
         (nms_normal_gpu)
+    :param block: candidates resolved per sequential round (exactness holds
+        for any value; purely a latency/compute trade)
     :return: (keep_idx (max_keep,) int32, keep_mask (max_keep,) bool) — indices
         into `boxes` in descending-score order; slots past the number of
         survivors have keep_mask False (and index 0).
@@ -52,23 +61,53 @@ def nms_bev(boxes: jnp.ndarray,
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
+    t = min(block, max_keep, n)
     iou_row = iou_bev_one_to_many if rotated else iou_normal_one_to_many
 
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
 
-    def body(carry, _):
-        alive, = carry
-        masked = jnp.where(alive, scores, neg_inf)
-        best = jnp.argmax(masked)
-        best_ok = alive[best]
-        row = iou_row(boxes[best], boxes)
-        # suppress overlaps of the kept box; always retire the kept box itself
-        new_alive = alive & (row <= thresh)
-        new_alive = new_alive.at[best].set(False)
-        alive = jnp.where(best_ok, new_alive, alive)
-        return (alive,), (best.astype(jnp.int32), best_ok)
+    def cond(carry):
+        alive, _, _, count = carry
+        return (count < max_keep) & jnp.any(alive)
 
-    (_,), (keep_idx, keep_mask) = jax.lax.scan(
-        body, (valid,), None, length=max_keep)
-    keep_idx = jnp.where(keep_mask, keep_idx, 0)
+    def body(carry):
+        alive, keep_idx, keep_mask, count = carry
+        masked = jnp.where(alive, scores, neg_inf)
+        vals, cand = jax.lax.top_k(masked, t)         # score-desc, distinct
+        ok = vals > neg_inf                            # (t,)
+        rows = jax.vmap(lambda b: iou_row(b, boxes))(boxes[cand])  # (t, N)
+
+        # intra-block greedy resolution: kept[i] iff not suppressed by an
+        # earlier KEPT candidate of this block (earlier rounds are already
+        # folded into `alive`).  t is small and static -> unrolled.
+        cross = rows[:, cand]                          # (t, t) iou(b_i, b_j)
+        kept_list = [ok[0]]
+        for i in range(1, t):
+            sup = jnp.zeros((), bool)
+            for j in range(i):
+                sup |= kept_list[j] & (cross[j, i] > thresh)
+            kept_list.append(ok[i] & ~sup)
+        kept = jnp.stack(kept_list)                    # (t,)
+
+        # cap at the remaining keep budget (score order = list order)
+        rank = count + jnp.cumsum(kept.astype(jnp.int32)) - 1
+        kept = kept & (rank < max_keep)
+
+        # global suppression by the kept candidates + retire all resolved
+        sup_any = jnp.any(kept[:, None] & (rows > thresh), axis=0)  # (N,)
+        alive = alive & ~sup_any
+        alive = alive.at[jnp.where(ok, cand, n)].set(False, mode='drop')
+
+        dst = jnp.where(kept, rank, max_keep)          # drop non-kept
+        keep_idx = keep_idx.at[dst].set(cand.astype(jnp.int32),
+                                        mode='drop')
+        keep_mask = keep_mask.at[dst].set(True, mode='drop')
+        count = count + jnp.sum(kept.astype(jnp.int32))
+        return alive, keep_idx, keep_mask, count
+
+    alive0 = valid
+    keep_idx0 = jnp.zeros((max_keep,), jnp.int32)
+    keep_mask0 = jnp.zeros((max_keep,), bool)
+    _, keep_idx, keep_mask, _ = jax.lax.while_loop(
+        cond, body, (alive0, keep_idx0, keep_mask0, jnp.asarray(0)))
     return keep_idx, keep_mask

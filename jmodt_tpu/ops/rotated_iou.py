@@ -1,16 +1,21 @@
 """Branchless rotated-rectangle intersection for BEV boxes, in pure jnp.
 
 TPU-native rewrite of the CUDA polygon-clipping kernel
-(/root/reference/jmodt/ops/iou3d/src/iou3d_kernel.cu:14-248).  The CUDA code
-walks edges with data-dependent branches and a bubble sort; here every pair of
-boxes is evaluated with a fixed 24-slot candidate-vertex buffer and masks, so
-the whole (M, N) overlap matrix is one fused vectorized computation — no
-dynamic shapes, fully jit/vmap-able, and it maps onto the VPU.
+(/root/reference/jmodt/ops/iou3d/src/iou3d_kernel.cu:14-248).  Two
+formulations:
 
-Semantics intentionally match the CUDA kernel, including EPS = 1e-8
-(iou3d_kernel.cu:10), the MARGIN = 1e-5 in-box test (iou3d_kernel.cu:50-65),
-the strict `s1*s2 > 0 && s3*s4 > 0` segment-crossing test, and the
-angle-around-centroid vertex ordering.
+  * `box_overlap_bev` (production) — Green's-theorem form: clip each
+    polygon's edges against the other rect with branchless Liang-Barsky
+    and sum segment shoelace terms.  NO candidate buffers, NO sorting —
+    the round-3 profile showed the 24-candidate + argsort form costs
+    ~190 ns per pair on TPU and dominated NMS.  Exact up to a 1e-5
+    closed/open boundary tie-break (comparable to the CUDA kernel's own
+    MARGIN = 1e-5 containment slack).
+  * `box_overlap_bev_ref` — CUDA-faithful candidate-vertex form (EPS =
+    1e-8 per iou3d_kernel.cu:10, MARGIN in-box tests, strict
+    `s1*s2 > 0 && s3*s4 > 0` crossing test, angle-around-centroid vertex
+    ordering).  Kept as the oracle; pinned equal in
+    tests/test_rotated_iou.py.
 
 BEV box format (5,): [x1, y1, x2, y2, angle] — the axis-aligned extent around
 the box center, rotated by `angle` about that center (see
@@ -116,8 +121,106 @@ def _segment_intersections(ca: jnp.ndarray, cb: jnp.ndarray):
 
 
 def box_overlap_bev(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
-    """Exact intersection area of two rotated BEV boxes
-    (iou3d_kernel.cu::box_overlap, lines 108-212). box_a, box_b: (5,)."""
+    """Exact intersection area of two rotated BEV boxes — same result as
+    the CUDA kernel (iou3d_kernel.cu::box_overlap, lines 108-212) computed
+    WITHOUT candidate-vertex buffers or sorting:
+
+        area(A ∩ B) = 1/2 |sum over boundary segments of (x_a y_b - x_b y_a)|
+
+    where the boundary of A ∩ B is exactly (∂A clipped to B) ∪ (∂B clipped
+    to A) and the line integral of Green's theorem is additive over the
+    segments in ANY enumeration order — both corner rings share one
+    orientation (same `_box_corners` construction), so no angle sort is
+    needed.  Each edge clips against the other rect's 4 half-planes with
+    branchless Liang-Barsky (~40 ops/edge).  This replaced the 24-slot
+    candidate+argsort formulation in round 3: the sort made each pairwise
+    overlap ~190 ns on TPU and dominated NMS (the old form is kept as
+    `box_overlap_bev_ref` and pinned equal in tests/test_rotated_iou.py).
+
+    box_a, box_b: (5,)."""
+    ca = _box_corners(box_a)
+    cb = _box_corners(box_b)
+
+    def axes_half(box):
+        c, s = jnp.cos(box[4]), jnp.sin(box[4])
+        # the corner construction rotates (dx, dy) to
+        # (dx c + dy s, -dx s + dy c): the box's local u axis in world
+        # coords is (c, -s), v is (s, c)
+        u = jnp.stack([c, -s])
+        v = jnp.stack([s, c])
+        half = jnp.stack([(box[2] - box[0]) / 2, (box[3] - box[1]) / 2])
+        center = jnp.stack([(box[0] + box[2]) / 2, (box[1] + box[3]) / 2])
+        return jnp.stack([u, v]), half, center
+
+    axes_b, half_b, center_b = axes_half(box_b)
+    axes_a, half_a, center_a = axes_half(box_a)
+    # one common origin (center_b) for every shoelace term: Green's line
+    # integral is origin-independent only over the CLOSED union of both
+    # segment sets, and a local origin keeps f32 products small
+    # closed/open convention for shared boundaries (identical or
+    # edge-touching boxes): A's edges clip against B grown by +tol, B's
+    # edges against A shrunk by -tol, so a segment lying exactly on both
+    # boundaries is counted ONCE (and f32 jitter around d=0 cannot drop
+    # it from both sums).  tol shifts the effective boxes by 1e-5 m —
+    # area error ~perimeter*tol, far below the MARGIN=1e-5 the CUDA
+    # kernel itself applies to containment tests.
+    tol = 1e-5
+    sum_a = _edge_clip_shoelace_about(ca - center_b, axes_b, half_b + tol,
+                                      jnp.zeros(2, ca.dtype))
+    sum_b = _edge_clip_shoelace_about(cb - center_b, axes_a, half_a - tol,
+                                      center_a - center_b)
+    area = jnp.abs(sum_a + sum_b) / 2.0
+    # cap at the smaller rect area: the two sums are exact in real
+    # arithmetic; f32 roundoff on near-identical boxes can exceed it by ulps
+    cap = jnp.minimum((box_a[2] - box_a[0]) * (box_a[3] - box_a[1]),
+                      (box_b[2] - box_b[0]) * (box_b[3] - box_b[1]))
+    return jnp.minimum(area, jnp.abs(cap))
+
+
+def _edge_clip_shoelace_about(corners: jnp.ndarray, other: jnp.ndarray,
+                              half: jnp.ndarray,
+                              center: jnp.ndarray) -> jnp.ndarray:
+    """Green's-theorem boundary contribution of one polygon's edges: clip
+    each directed edge p->q of `corners` (4, 2) to the inside of the
+    rotated rect (axes `other` (2,2) rows u/v, half-extents `half` (2,),
+    centered at `center`, all in the corners' frame) with branchless
+    Liang-Barsky, and sum the segment shoelace terms x_a y_b - x_b y_a of
+    the surviving pieces."""
+    p = corners
+    q = jnp.roll(corners, -1, axis=0)
+    rel_p = p - center
+    rel_q = q - center
+    pu = rel_p @ other[0]
+    pv = rel_p @ other[1]
+    qu = rel_q @ other[0]
+    qv = rel_q @ other[1]
+    t0 = jnp.zeros_like(pu)
+    t1 = jnp.ones_like(pu)
+    for d0, d1 in (
+            (pu - half[0], qu - half[0]),
+            (-pu - half[0], -qu - half[0]),
+            (pv - half[1], qv - half[1]),
+            (-pv - half[1], -qv - half[1])):
+        denom = d0 - d1
+        safe = jnp.where(jnp.abs(denom) > EPS, denom, 1.0)
+        t = d0 / safe
+        entering = (d0 > 0) & (d1 <= 0)
+        leaving = (d0 <= 0) & (d1 > 0)
+        outside = (d0 > 0) & (d1 > 0)
+        t0 = jnp.where(entering, jnp.maximum(t0, t), t0)
+        t1 = jnp.where(leaving, jnp.minimum(t1, t), t1)
+        t1 = jnp.where(outside, -1.0, t1)
+    ok = t1 > t0
+    a = p + t0[:, None] * (q - p)
+    b = p + t1[:, None] * (q - p)
+    shoe = a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]
+    return jnp.sum(jnp.where(ok, shoe, 0.0))
+
+
+def box_overlap_bev_ref(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
+    """CUDA-faithful candidate-vertex formulation (EPS/MARGIN semantics of
+    iou3d_kernel.cu:108-212) — retained as the oracle for the fast Green's
+    form above."""
     ca = _box_corners(box_a)
     cb = _box_corners(box_b)
 

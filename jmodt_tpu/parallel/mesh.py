@@ -87,17 +87,41 @@ def batch_sharding(mesh: Mesh, key: Optional[str] = None,
     return NamedSharding(mesh, P(*spec))
 
 
+def _put(v: Any, sharding: NamedSharding) -> Any:
+    """device_put in-process; in a multi-process (multi-host) run the
+    local array is this process's SHARD of the global batch, assembled via
+    make_array_from_process_local_data (device_put cannot target other
+    hosts' devices)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(v))
+    return jax.device_put(v, sharding)
+
+
+def put_replicated(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (parameters, optimizer state) onto every device
+    of the mesh — including across processes, where each process supplies
+    an identical host copy (e.g. same-seed init or a loaded checkpoint)."""
+    repl = replicated_sharding(mesh)
+    if jax.process_count() <= 1:
+        return jax.device_put(tree, repl)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            repl, np.asarray(x)), tree)
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     """Place every array in `batch` on the mesh: leading dim over `axis`,
     and (2-D mesh, known point fields) the point dim over `points`.
 
     Sharded dims must be divisible by their mesh-axis size; the data
     pipeline pads batches to a multiple of the device count (fixed shapes
-    are already the design rule, SURVEY.md §7).
+    are already the design rule, SURVEY.md §7).  In a multi-process run
+    each process passes its LOCAL batch rows; the global batch is their
+    concatenation along the data axis.
     """
     if isinstance(batch, dict):
-        return {k: jax.device_put(v, batch_sharding(mesh, k, axis))
+        return {k: _put(v, batch_sharding(mesh, k, axis))
                 for k, v in batch.items()}
     sharding = data_parallel_sharding(mesh, axis)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(lambda x: _put(x, sharding), batch)

@@ -47,10 +47,19 @@ class Trainer:
     def __init__(self, cfg: Config, model, state: TrainState, tx,
                  ckpt_dir: str, tb_log=None, eval_frequency: int = 1,
                  mesh=None, log: Optional[logging.Logger] = None,
-                 ckpt_writer=None):
+                 ckpt_writer=None, log_every: int = 1,
+                 prefetch: bool = True):
         # optional checkpoint.AsyncCheckpointWriter: per-epoch saves then
         # overlap the next epoch's compute (orbax background IO)
         self.ckpt_writer = ckpt_writer
+        # log_every: fetch the loss scalar to host only every K steps —
+        # a device->host value fetch is the ONLY operation that waits for
+        # execution on this class of runtime, so a per-step float(loss)
+        # serializes the whole pipeline; at K>1 steps dispatch back-to-back
+        # (the reference logs per step, train_utils.py:144-147)
+        self.log_every = max(int(log_every), 1)
+        # prefetch: upload batch i+1 (device_put, async) while step i runs
+        self.prefetch = prefetch
         self.cfg = cfg
         self.model = model
         if mesh is not None:
@@ -87,7 +96,27 @@ class Trainer:
         if self._mesh is not None:
             from jmodt_tpu.parallel import shard_batch
             batch = shard_batch(batch, self._mesh)
+        elif self.prefetch:
+            batch = jax.device_put(batch)  # async upload
         return batch
+
+    def _batches(self, iterable):
+        """One-batch-lookahead device feed: the (async) device_put of batch
+        i+1 is issued before batch i's step result is consumed, so host
+        decode/collate and upload overlap device compute."""
+        if not self.prefetch:
+            for batch in iterable:
+                yield self._device_batch(batch)
+            return
+        it = iter(iterable)
+        try:
+            nxt = self._device_batch(next(it))
+        except StopIteration:
+            return
+        for batch in it:
+            cur, nxt = nxt, self._device_batch(batch)
+            yield cur
+        yield nxt
 
     def eval_epoch(self, val_loader: Iterable, key) -> tuple:
         """Loss-only val epoch (reference eval_epoch,
@@ -96,10 +125,9 @@ class Trainer:
         nan_dict: dict = {}
         total_loss = []
         n = 0
-        for batch in val_loader:
+        for dbatch in self._batches(val_loader):
             n += 1
-            loss, tb = self._val_step(self.state, self._device_batch(batch),
-                                      key)
+            loss, tb = self._val_step(self.state, dbatch, key)
             loss = float(loss)
             if loss > 0:
                 total_loss.append(loss)
@@ -130,10 +158,11 @@ class Trainer:
         for epoch in range(start_epoch, n_epochs):
             t0 = time.time()
             train_losses = []
-            for batch in train_loader_fn():
+            for dbatch in self._batches(train_loader_fn()):
                 it += 1
-                self.state, tb = self._train_step(
-                    self.state, self._device_batch(batch), key)
+                self.state, tb = self._train_step(self.state, dbatch, key)
+                if it % self.log_every:
+                    continue  # skip the host fetch; steps queue back-to-back
                 loss = float(tb['loss'])
                 if loss > 0:
                     train_losses.append(loss)

@@ -188,3 +188,27 @@ def test_nms_rotated_runs(rng):
     assert 1 <= k <= 10
     # highest-score box always kept first
     assert int(np.asarray(keep_idx)[0]) == int(np.argmax(scores))
+
+
+def test_nms_block_sizes_agree(rng):
+    """Block-speculative rounds are EXACT greedy for any block size:
+    block=1 (one-per-round, the pre-round-3 formulation) must equal
+    block=8/16 on dense overlapping rotated boxes, including the keep cap
+    and validity masking."""
+    n = 96
+    boxes = np.concatenate([
+        rng.uniform(0, 6, size=(n, 2)), rng.uniform(4, 9, size=(n, 2)),
+        rng.uniform(-np.pi, np.pi, size=(n, 1))], axis=1).astype(np.float32)
+    boxes[:, 2:4] = boxes[:, :2] + np.abs(boxes[:, 2:4] - boxes[:, :2]) + 0.5
+    scores = rng.rand(n).astype(np.float32)
+    valid = rng.rand(n) > 0.2
+    for max_keep in (16, n):
+        ref_i, ref_m = nms_bev(boxes, scores, 0.4, max_keep=max_keep,
+                               valid=valid, rotated=True, block=1)
+        for block in (4, 8, 16):
+            got_i, got_m = nms_bev(boxes, scores, 0.4, max_keep=max_keep,
+                                   valid=valid, rotated=True, block=block)
+            np.testing.assert_array_equal(np.asarray(got_m),
+                                          np.asarray(ref_m))
+            np.testing.assert_array_equal(np.asarray(got_i),
+                                          np.asarray(ref_i))

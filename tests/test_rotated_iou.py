@@ -70,8 +70,11 @@ def test_axis_aligned_identity():
 def test_axis_aligned_partial():
     a = np.array([[0.0, 0.0, 2.0, 2.0, 0.0]], np.float32)
     b = np.array([[1.0, 1.0, 3.0, 3.0, 0.0]], np.float32)
-    np.testing.assert_allclose(np.asarray(boxes_overlap_bev(a, b)), [[1.0]], rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(boxes_iou_bev(a, b)), [[1.0 / 7.0]], rtol=1e-5)
+    # rtol 1e-4: the Green's-form kernel breaks boundary ties with a 1e-5
+    # closed/open tolerance, bounding |area error| by ~tol * clipped edge
+    # length (rotated_iou.py::box_overlap_bev)
+    np.testing.assert_allclose(np.asarray(boxes_overlap_bev(a, b)), [[1.0]], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(boxes_iou_bev(a, b)), [[1.0 / 7.0]], rtol=1e-4)
 
 
 def test_disjoint():
@@ -129,3 +132,29 @@ def test_bev_conversion():
     bev = np.asarray(boxes3d_to_bev(boxes))
     np.testing.assert_allclose(
         bev, [[1.0 - 3.9 / 2, 3.0 - 1.6 / 2, 1.0 + 3.9 / 2, 3.0 + 1.6 / 2, 0.7]], rtol=1e-6)
+
+
+def test_greens_form_matches_candidate_form():
+    """The sort-free Green's-theorem overlap (box_overlap_bev) equals the
+    CUDA-faithful 24-candidate formulation (box_overlap_bev_ref) on random
+    generic-position pairs, within the 1e-5 boundary tie-break tolerance."""
+    import jax
+    from jmodt_tpu.ops.rotated_iou import box_overlap_bev, box_overlap_bev_ref
+    rng = np.random.RandomState(0)
+    n = 400
+    c = rng.uniform(-10, 10, (n, 2, 2)).astype(np.float32)
+    wh = rng.uniform(0.5, 6.0, (n, 2, 2)).astype(np.float32)
+    ang = rng.uniform(-np.pi, np.pi, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([c - wh / 2, c + wh / 2,
+                            ang[..., None]], axis=-1)  # (n, 2, 5)
+    # overlap-rich subset: second box = first with jittered center/size
+    # (well-formed: x2 > x1, y2 > y1 preserved)
+    half = n // 2
+    c2 = c[half:, 0] + rng.uniform(-1.0, 1.0, (n - half, 2))
+    wh2 = wh[half:, 0] * rng.uniform(0.7, 1.3, (n - half, 2))
+    boxes[half:, 1, :2] = (c2 - wh2 / 2).astype(np.float32)
+    boxes[half:, 1, 2:4] = (c2 + wh2 / 2).astype(np.float32)
+    got = jax.vmap(lambda p: box_overlap_bev(p[0], p[1]))(boxes)
+    want = jax.vmap(lambda p: box_overlap_bev_ref(p[0], p[1]))(boxes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-4, rtol=1e-3)

@@ -1,0 +1,222 @@
+"""Per-component on-TPU latency profile of the joint detect+track frame.
+
+Every timing ends with a value fetch that data-depends on the computation
+and reports the SLOPE between two loop lengths (this relay's
+`block_until_ready` ACKs without waiting; see CLAUDE.md round-3 note).
+
+Usage: python tools/bench_components.py [--pallas_fps] [--iters 24]
+Prints one JSON line with ms-per-call for each component.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), '..')))
+
+
+def slope_time(fn, args, iters, chain_arg=None):
+    """Time fn(*args) with fetch-synced slope.  If chain_arg is an index,
+    the output is fed back into that positional arg to serialize the
+    executions; otherwise executions are serialized by the final fetch."""
+    sync = jax.jit(lambda o: jnp.sum(
+        sum(jnp.sum(jnp.asarray(x, jnp.float32))
+            for x in jax.tree_util.tree_leaves(o))))
+
+    def run(n):
+        a = list(args)
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*a)
+            if chain_arg is not None:
+                a[chain_arg] = out
+        float(sync(out))
+        return time.perf_counter() - t0
+
+    fn(*args)  # compile
+    run(2)     # warm
+    n1, n2 = max(2, iters // 4), iters
+    return (run(n2) - run(n1)) / (n2 - n1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--pallas_fps', action='store_true')
+    ap.add_argument('--iters', type=int, default=24)
+    args = ap.parse_args()
+
+    from jmodt_tpu.config import Config
+    from jmodt_tpu.data.synthetic import make_eval_frame
+    from jmodt_tpu.models import PointRCNN
+    from jmodt_tpu.models.backbone import PointNet2MSG
+    from jmodt_tpu.models.inference import make_detection_step
+    from jmodt_tpu.models.rcnn import CorrelationHead
+    from jmodt_tpu.ops.grouping import ball_query
+    from jmodt_tpu.ops.sampling import farthest_point_sample
+    from jmodt_tpu.tracking.device_tracker import (init_state,
+                                                   make_device_tracker_step)
+    from jmodt_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = Config()
+    if args.pallas_fps:
+        cfg = dataclasses.replace(
+            cfg, RPN=dataclasses.replace(cfg.RPN, USE_PALLAS_FPS=True))
+    res = {'pallas_fps': bool(args.pallas_fps)}
+    it = args.iters
+
+    f0 = make_eval_frame(seed=0, cfg=cfg, raw_u8=True)
+    pts = jnp.asarray(f0['pts_input'])
+    img_f32 = jnp.asarray(
+        (f0['img'].astype(np.float32) / 255.0 - 0.45) / 0.22)
+    xy = jnp.asarray(f0['pts_xy'])
+
+    # ---- FPS per level (RPN shapes) ----
+    key = jax.random.PRNGKey(0)
+    for n, m in [(16384, 4096), (4096, 1024), (1024, 256), (256, 64)]:
+        cloud = jax.random.normal(key, (1, n, 3)) * 30.0
+        fn = jax.jit(lambda x, _m=m: farthest_point_sample(
+            x, _m, use_pallas=args.pallas_fps))
+        res[f'fps_{n}_{m}'] = slope_time(fn, [cloud], it) * 1e3
+    # RCNN-shaped batched FPS (100 rois)
+    cloud = jax.random.normal(key, (100, 512, 3))
+    fn = jax.jit(lambda x: farthest_point_sample(
+        x, 128, use_pallas=args.pallas_fps))
+    res['fps_roi_100x512_128'] = slope_time(fn, [cloud], it) * 1e3
+
+    # ---- ball query level 0 (the largest pairwise matrix) ----
+    cloud = jax.random.normal(key, (1, 16384, 3)) * 30.0
+    cent = cloud[:, :4096]
+    for r, s in [(0.1, 16), (0.5, 32)]:
+        fn = jax.jit(lambda x, c, _r=r, _s=s: ball_query(_r, _s, x, c))
+        res[f'ballq_16384x4096_r{r}'] = slope_time(fn, [cloud, cent],
+                                                   it) * 1e3
+
+    # ---- SA levels standalone (RPN shapes incl. grouped MLPs) ----
+    from jmodt_tpu.models.pointnet2 import SAModuleMSG, FPModule
+    sa_cfg = cfg.RPN.SA_CONFIG
+    counts = [16384] + list(sa_cfg.NPOINTS)
+    c_in = 0
+    for k in range(len(sa_cfg.NPOINTS)):
+        mlps = tuple(tuple(m) for m in sa_cfg.MLPS[k])
+        mod = SAModuleMSG(npoint=sa_cfg.NPOINTS[k], radii=sa_cfg.RADIUS[k],
+                          nsamples=sa_cfg.NSAMPLE[k], mlps=mlps,
+                          use_bn=cfg.RPN.USE_BN,
+                          use_pallas_fps=args.pallas_fps)
+        cloud = jax.random.normal(key, (1, counts[k], 3)) * 30.0
+        feats = (jax.random.normal(key, (1, counts[k], c_in))
+                 if c_in else None)
+        v = jax.jit(lambda kk, c=cloud, f=feats, m=mod: m.init(
+            kk, c, f, False))(jax.random.PRNGKey(k))
+        fn = jax.jit(lambda vv, c, f, m=mod: m.apply(vv, c, f, False))
+        res[f'sa_level{k}'] = slope_time(fn, [v, cloud, feats], it) * 1e3
+        c_in = sum(m[-1] for m in mlps)
+
+    # ---- FP level 0 (coarse 4096 -> fine 16384, the big one) ----
+    fine = jax.random.normal(key, (1, 16384, 3)) * 30.0
+    coarse = jax.random.normal(key, (1, 4096, 3)) * 30.0
+    cfeat = jax.random.normal(key, (1, 4096, 128))
+    fp = FPModule(mlp=tuple(cfg.RPN.FP_MLPS[0]), use_bn=cfg.RPN.USE_BN)
+    v = jax.jit(lambda kk: fp.init(kk, fine, coarse, None, cfeat,
+                                   False))(jax.random.PRNGKey(9))
+    fn = jax.jit(lambda vv, a, b, c: fp.apply(vv, a, b, None, c, False))
+    res['fp_level0'] = slope_time(fn, [v, fine, coarse, cfeat], it) * 1e3
+
+    # ---- three_nn at the FP0 shape ----
+    from jmodt_tpu.ops.interpolate import three_nn
+    fn = jax.jit(lambda a, b: three_nn(a, b))
+    res['three_nn_16384x4096'] = slope_time(fn, [fine, coarse], it) * 1e3
+
+    # ---- greedy rotated NMS at eval shapes (100 keeps over 100 boxes) ----
+    from jmodt_tpu.ops.nms import nms_bev
+    from jmodt_tpu.ops.geometry import boxes3d_to_bev
+    boxes = jax.random.normal(key, (100, 7)) * 5.0 + jnp.asarray(
+        [0, 1.6, 30, 1.5, 1.6, 3.9, 0])
+    scores = jax.random.uniform(key, (100,))
+    fn = jax.jit(lambda b, s: nms_bev(boxes3d_to_bev(b), s, 0.1,
+                                      max_keep=100,
+                                      valid=jnp.ones(100, bool),
+                                      rotated=True))
+    res['nms_100'] = slope_time(fn, [boxes, scores], it) * 1e3
+
+    # ---- roipool3d at eval shapes (100 rois x 16384 pts) ----
+    from jmodt_tpu.ops.roipool3d import roipool3d
+    pts = jax.random.normal(key, (1, 16384, 3)) * 30.0
+    feats100 = jax.random.normal(key, (1, 16384, 130))
+    rois100 = jax.random.normal(key, (1, 100, 7)) * 5.0 + jnp.asarray(
+        [0, 1.6, 30, 1.5, 1.6, 3.9, 0])
+    fn = jax.jit(lambda p, f, r: roipool3d(p, f, r, 0.2, 512))
+    res['roipool_100x16384'] = slope_time(fn, [pts, feats100, rois100],
+                                          it) * 1e3
+
+    # ---- image CNN alone (4 BasicBlocks at 384x1280) ----
+    from jmodt_tpu.models.image_backbone import BasicBlock
+
+    class _ImgStack(__import__('flax').linen.Module):
+        @__import__('flax').linen.compact
+        def __call__(self, x):
+            for c in (64, 128, 256, 512):
+                x = BasicBlock(c)(x, train=False)
+            return x
+
+    stack = _ImgStack()
+    im = jax.random.normal(key, (1, 384, 1280, 3))
+    ivars = jax.jit(stack.init)(jax.random.PRNGKey(0), im)
+    fn = jax.jit(stack.apply)
+    res['image_cnn'] = slope_time(fn, [ivars, im], it) * 1e3
+
+    # ---- backbone (SA+FP+fusion) ----
+    model = PointRCNN(cfg, mode='EVAL')
+    variables = jax.jit(lambda k: model.init(
+        k, pts, img_f32, xy, train=False))(jax.random.PRNGKey(0))
+    bb = PointNet2MSG(cfg=cfg)
+    bvars = jax.jit(lambda k: bb.init(k, pts, img_f32, xy,
+                                      train=False))(jax.random.PRNGKey(0))
+    fn = jax.jit(lambda v, p, im, x: bb.apply(v, p, im, x, train=False))
+    res['backbone'] = slope_time(fn, [bvars, pts, img_f32, xy], it) * 1e3
+
+    # ---- full detection step ----
+    det = make_detection_step(cfg, model)
+    res['detection_step'] = slope_time(
+        det, [variables, pts, jnp.asarray(f0['img']), xy], it) * 1e3
+
+    # ---- tracker step (state-chained) ----
+    head = CorrelationHead(cfg.REID.LINK_FC, use_bn=cfg.REID.USE_BN)
+    feat_dim = cfg.RCNN.SA_CONFIG.MLPS[-1][-1]
+    lp = head.init(jax.random.PRNGKey(1),
+                   np.zeros((1, feat_dim), np.float32))
+    trk = make_device_tracker_step(head.apply)
+    st = init_state(64, feat_dim)
+    db = np.zeros((16, 7), np.float32)
+    db[:4, 3:6] = [1.5, 1.6, 3.9]
+    db[:4, 2] = [10, 20, 30, 40]
+    ds = np.zeros((16,), np.float32)
+    ds[:4] = 0.9
+    df = np.random.RandomState(0).randn(16, feat_dim).astype(np.float32)
+    dm = np.arange(16) < 4
+
+    def trk_fn(state):
+        s, _ = trk(state, jnp.asarray(5), db, ds, df, dm, lp)
+        return s
+
+    res['tracker_step'] = slope_time(jax.jit(trk_fn), [st], it,
+                                     chain_arg=0) * 1e3
+
+    res = {k: (round(v, 3) if isinstance(v, float) else v)
+           for k, v in res.items()}
+    print(json.dumps(res))
+
+
+if __name__ == '__main__':
+    main()

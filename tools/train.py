@@ -81,6 +81,10 @@ def main():
                              'parity; coordinator from env vars)')
     parser.add_argument('--small', action='store_true',
                         help='miniature config for smoke runs')
+    parser.add_argument('--log_every', type=int, default=1,
+                        help='fetch/log the loss scalar every K steps; '
+                             'K>1 keeps steps queued back-to-back (a '
+                             'per-step fetch serializes the pipeline)')
     parser.add_argument('--async_ckpt', action='store_true',
                         help='write checkpoints with the orbax async '
                              'writer (.orbax dirs; IO overlaps training)')
@@ -196,7 +200,7 @@ def main():
         logger.info('async orbax checkpointing enabled')
     trainer = Trainer(cfg, model, state, tx, ckpt_dir=ckpt_dir,
                       tb_log=tb_log, mesh=mesh, log=logger,
-                      ckpt_writer=ckpt_writer)
+                      ckpt_writer=ckpt_writer, log_every=args.log_every)
     logger.info('*************** Start training ***************')
     trainer.train(it, start_epoch, cfg.TRAIN.EPOCHS, train_loader_fn,
                   val_loader_fn)
