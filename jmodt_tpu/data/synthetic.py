@@ -13,6 +13,7 @@ Used by tests, bench.py, __graft_entry__.py, and the tools/ CLIs when no
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import numpy as np
@@ -196,3 +197,102 @@ def make_eval_frame(seed: int, cfg: Config, npoints: Optional[int] = None,
                 pts_xy=scene['pts_xy'][None],
                 gt_boxes3d=scene['gt_boxes3d'][None],
                 gt_valid=scene['gt_valid'][None])
+
+
+# ---------------------------------------------------------------------------
+# on-disk synthetic KITTI tracking tree (the learning-ladder data source)
+# ---------------------------------------------------------------------------
+
+def write_synthetic_kitti_tree(root: str, cfg: Config, n_seqs: int = 2,
+                               n_frames: int = 16, img_hw=(64, 128),
+                               npoints: Optional[int] = None,
+                               seed: int = 0) -> None:
+    """Write a KITTI *tracking* tree whose frames come from `make_scene`:
+    cars on constant-velocity trajectories with dense surface points, so a
+    detector trained through the REAL file pipeline (converter ->
+    KittiDataset -> tools/train.py) can actually learn, and tools/eval.py's
+    AP / CLEAR-MOT close the loop (VERDICT r2 next-step #7).
+
+    Layout written: <root>/training/{calib,image_02,velodyne,label_02}.
+    The calibration is a synthetic pinhole consistent with `img_hw`
+    (velodyne x-fwd/y-left/z-up -> rect x-right/y-down/z-fwd), so the
+    dataset's own projection filter keeps the generated points.
+    """
+    from PIL import Image
+    h, w = img_hw
+    fu = fv = 0.9 * h          # ~45 deg vertical FoV
+    cu, cv = w / 2.0, 0.42 * h
+    calib_txt = (
+        f'P0: {fu} 0 {cu} 0 0 {fv} {cv} 0 0 0 1 0\n'
+        f'P1: {fu} 0 {cu} 0 0 {fv} {cv} 0 0 0 1 0\n'
+        f'P2: {fu} 0 {cu} 0 0 {fv} {cv} 0 0 0 1 0\n'
+        f'P3: {fu} 0 {cu} 0 0 {fv} {cv} 0 0 0 1 0\n'
+        'R0_rect: 1 0 0 0 1 0 0 0 1\n'
+        'Tr_velo_to_cam: 0 -1 0 0 0 0 -1 0 1 0 0 0\n')
+
+    rng = np.random.RandomState(seed)
+    n = npoints or cfg.RPN.NUM_POINTS
+    for si in range(n_seqs):
+        seq = '%04d' % si
+        for sub in ('image_02', 'velodyne'):
+            os.makedirs(os.path.join(root, 'training', sub, seq),
+                        exist_ok=True)
+        os.makedirs(os.path.join(root, 'training', 'calib'), exist_ok=True)
+        os.makedirs(os.path.join(root, 'training', 'label_02'),
+                    exist_ok=True)
+        with open(os.path.join(root, 'training', 'calib', f'{seq}.txt'),
+                  'w') as f:
+            f.write(calib_txt)
+
+        ncars = rng.randint(2, 5)
+        mean = np.asarray(cfg.mean_size)
+        boxes = np.zeros((ncars, 7), np.float32)
+        boxes[:, 0] = rng.uniform(-8, 8, ncars)
+        boxes[:, 1] = rng.uniform(1.5, 1.7, ncars)
+        boxes[:, 2] = rng.uniform(10, 30, ncars)
+        boxes[:, 3:6] = mean * rng.uniform(0.95, 1.05, (ncars, 3))
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, ncars)
+        vel = np.zeros((ncars, 2), np.float32)
+        vel[:, 0] = rng.uniform(-0.3, 0.3, ncars)     # dx per frame
+        vel[:, 1] = rng.uniform(-0.6, 0.6, ncars)     # dz per frame
+
+        label_rows = []
+        for fr in range(n_frames):
+            cur = boxes.copy()
+            cur[:, 0] += vel[:, 0] * fr
+            cur[:, 2] += vel[:, 1] * fr
+            scene = make_scene(rng, cfg, npoints=n, base_boxes=cur,
+                               img_hw=img_hw)
+            pts_rect = scene['pts']
+            # rect -> velodyne: v = (z, -x, -y); intensity random
+            pts_v = np.stack([pts_rect[:, 2], -pts_rect[:, 0],
+                              -pts_rect[:, 1],
+                              rng.rand(len(pts_rect)).astype(np.float32)],
+                             axis=1).astype(np.float32)
+            pts_v.tofile(os.path.join(root, 'training', 'velodyne', seq,
+                                      f'{fr:06d}.bin'))
+            img = ((scene['img'] + 0.5) * 255).clip(0, 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(
+                root, 'training', 'image_02', seq, f'{fr:06d}.png'))
+            for k in range(ncars):
+                x, y, z, bh, bw, bl, ry = cur[k]
+                # project the 8 corners for the 2D box
+                cx = np.array([bl / 2, bl / 2, -bl / 2, -bl / 2] * 2)
+                cz = np.array([bw / 2, -bw / 2, -bw / 2, bw / 2] * 2)
+                cy = np.array([0.0] * 4 + [-bh] * 4)
+                c, s = np.cos(ry), np.sin(ry)
+                wx = x + cx * c + cz * s
+                wz = z - cx * s + cz * c
+                wy = y + cy
+                zc = np.clip(wz, 1.0, None)
+                us = np.clip(fu * wx / zc + cu, 0, w - 1)
+                vs = np.clip(fv * wy / zc + cv, 0, h - 1)
+                alpha = float(-np.arctan2(x, z) + ry)
+                label_rows.append(
+                    f'{fr} {k + 1} Car 0 0 {alpha:.2f} '
+                    f'{us.min():.2f} {vs.min():.2f} {us.max():.2f} '
+                    f'{vs.max():.2f} {bh:.2f} {bw:.2f} {bl:.2f} '
+                    f'{x:.2f} {y:.2f} {z:.2f} {ry:.2f}\n')
+        with open(os.path.join(root, 'training', 'label_02',
+                               f'{seq}.txt'), 'w') as f:
+            f.writelines(label_rows)

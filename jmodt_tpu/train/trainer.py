@@ -60,6 +60,9 @@ class Trainer:
         self.log_every = max(int(log_every), 1)
         # prefetch: upload batch i+1 (device_put, async) while step i runs
         self.prefetch = prefetch
+        # ckpt_every: per-epoch snapshots every K epochs (the final epoch
+        # always saves; reference saves every epoch, train_utils.py:171-174)
+        self.ckpt_every = 1
         self.cfg = cfg
         self.model = model
         if mesh is not None:
@@ -180,13 +183,15 @@ class Trainer:
                 self.tb_log.add_scalar('train_loss_epoch', train_loss_epoch,
                                        trained_epoch)
 
-            ckpt_name = os.path.join(self.ckpt_dir,
-                                     'checkpoint_epoch_%d' % trained_epoch)
-            save_checkpoint(checkpoint_state(
-                {'params': self.state.params,
-                 'batch_stats': self.state.batch_stats},
-                self.state.opt_state, trained_epoch, it), ckpt_name,
-                writer=self.ckpt_writer)
+            if (trained_epoch % self.ckpt_every == 0
+                    or trained_epoch == n_epochs):
+                ckpt_name = os.path.join(
+                    self.ckpt_dir, 'checkpoint_epoch_%d' % trained_epoch)
+                save_checkpoint(checkpoint_state(
+                    {'params': self.state.params,
+                     'batch_stats': self.state.batch_stats},
+                    self.state.opt_state, trained_epoch, it), ckpt_name,
+                    writer=self.ckpt_writer)
 
             if val_loader_fn is not None and (epoch % self.eval_frequency
                                               == 0):

@@ -137,3 +137,42 @@ def test_per_row_anchor_size_res_on_roi():
         use_cls_score=True, iou_loss_type='raw')
     assert float(a.size_loss) == float(b.size_loss)
     assert float(a.iou_loss) == float(b.iou_loss)
+
+
+def test_reg_loss_optimum_decodes_to_gt():
+    """Cross-consistency of the LOSS channel layout with the DECODER's:
+    a prediction optimized to minimize get_reg_loss must decode to the gt
+    box exactly (same bins, residual scaling, angle convention).  Guards
+    against a silently permuted head layout — training would reduce the
+    loss while eval decodes garbage."""
+    import jax
+    import jax.numpy as jnp
+    from jmodt_tpu.losses import get_reg_loss
+    from jmodt_tpu.models.bbox_codec import decode_bbox_target
+
+    loc_scope, loc_bin_size, nbin = 3.0, 0.5, 12
+    anchor = jnp.asarray([1.52563191, 1.62856739, 3.8831164])
+    dx, dy, dz, ry = 1.3, -0.2, -1.7, 2.4
+    h, w, l = 1.6, 1.7, 4.1
+    reg_label = jnp.asarray([[dx, dy, dz, h, w, l, ry]], jnp.float32)
+    fg = jnp.ones((1,), bool)
+
+    def loss_fn(p):
+        out = get_reg_loss(jnp.ones((1,)), p, reg_label, fg,
+                           loc_scope, loc_bin_size, nbin, anchor,
+                           get_xz_fine=True, get_ry_fine=False,
+                           use_cls_score=False, iou_loss_type='raw')
+        return out.loc_loss + out.angle_loss + 3 * out.size_loss
+
+    step = jax.jit(lambda p: p - 0.1 * jax.grad(loss_fn)(p))
+    pred = jnp.zeros((1, 76), jnp.float32)
+    for _ in range(2500):
+        pred = step(pred)
+    dec = np.asarray(decode_bbox_target(
+        jnp.zeros((1, 7)), pred, anchor_size=anchor, loc_scope=loc_scope,
+        loc_bin_size=loc_bin_size, num_head_bin=nbin, get_xz_fine=True,
+        get_y_by_bin=False, get_ry_fine=False, avg_by_bin=False,
+        ry_with_bin=False))[0]
+    np.testing.assert_allclose(dec[:6], [dx, dy, dz, h, w, l], atol=0.02)
+    ry_err = abs(((dec[6] - ry + np.pi) % (2 * np.pi)) - np.pi)
+    assert ry_err < 0.02, ry_err

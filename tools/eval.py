@@ -74,6 +74,9 @@ def eval_joint_detection(args, cfg, logger):
             root_dir=args.data_root, npoints=cfg.RPN.NUM_POINTS,
             split=split, mode=mode, classes=cfg.CLASSES,
             challenge='tracking', logger=logger, cfg=cfg,
+            # --small must match the training-side image geometry
+            # (tools/train.py img_hw) or pts_xy normalization shifts
+            fixed_img_size=(64, 128) if args.small else (384, 1280),
             raw_uint8_images=True)
         sample_ids = list(dataset.sample_id_list)
 
@@ -168,6 +171,7 @@ def eval_joint_detection(args, cfg, logger):
                     thresh, total_recalled[idx], total_gt,
                     total_recalled[idx] / max(total_gt, 1))
 
+    ap_dict = None
     if not args.test and args.data_root:
         from jmodt_tpu.eval.detection_ap import evaluate_detections
         name_to_class = {'Car': 0, 'Pedestrian': 1, 'Cyclist': 2}
@@ -177,6 +181,7 @@ def eval_joint_detection(args, cfg, logger):
         logger.info(ap_str)
         logger.info('%s', ap_dict)
     logger.info('result saved to: %s', args.det_output)
+    return ap_dict
 
 
 def _track_sequences_batched(args, cfg, logger, seq_list, seq2sample,
@@ -297,6 +302,32 @@ def _track_sequences_batched(args, cfg, logger, seq_list, seq2sample,
     return total_time, total_frames
 
 
+def _seqmap_from_gt(gt_path: str) -> dict:
+    """Per-sequence frame counts from the image_02 directories (frames
+    exist even when unlabeled) — equals the official SEQMAP on the real
+    KITTI tree and makes fabricated/synthetic trees evaluable.  Falls back
+    to max-label-frame+1 where images are absent."""
+    seqmap = {}
+    img_root = os.path.join(gt_path, 'image_02')
+    label_dir = os.path.join(gt_path, 'label_02')
+    for name in sorted(os.listdir(label_dir)):
+        if not name.endswith('.txt'):
+            continue
+        seq = name[:-4]
+        img_dir = os.path.join(img_root, seq)
+        if os.path.isdir(img_dir):
+            seqmap[seq] = sum(1 for p in os.listdir(img_dir)
+                              if p.endswith(('.png', '.jpg')))
+            continue
+        last = 0
+        with open(os.path.join(label_dir, name)) as f:
+            for line in f:
+                if line.strip():
+                    last = max(last, int(float(line.split()[0])))
+        seqmap[seq] = last + 1
+    return seqmap
+
+
 def eval_tracking(args, cfg, logger):
     """Stage 2 (reference eval_tracking, tools/eval.py:294-417)."""
     part = 'test' if args.test else 'val'
@@ -391,9 +422,10 @@ def eval_tracking(args, cfg, logger):
         if not args.test and args.data_root:
             from jmodt_tpu.eval.clear_mot import evaluate as eval_trk
             gt_path = os.path.join(args.data_root, 'tracking', 'training')
-            eval_trk(result_sha=args.tag, result_root=args.output_dir,
-                     part=part, gt_path=gt_path, logger=logger)
-        return
+            return eval_trk(result_sha=args.tag, result_root=args.output_dir,
+                            part=part, gt_path=gt_path, logger=logger,
+                            seqmap=_seqmap_from_gt(gt_path))
+        return None
 
     total_time, total_frames = 0.0, 0
     for seq_id in seq_list:
@@ -444,8 +476,10 @@ def eval_tracking(args, cfg, logger):
     if not args.test and args.data_root:
         from jmodt_tpu.eval.clear_mot import evaluate as evaluate_tracking
         gt_path = os.path.join(args.data_root, 'tracking', 'training')
-        evaluate_tracking(result_sha=args.tag, result_root=args.output_dir,
-                          part=part, gt_path=gt_path, logger=logger)
+        return evaluate_tracking(
+            result_sha=args.tag, result_root=args.output_dir, part=part,
+            gt_path=gt_path, logger=logger,
+            seqmap=_seqmap_from_gt(gt_path))
 
 
 def main():

@@ -1,0 +1,154 @@
+"""The full synthetic learning ladder through the REAL pipeline
+(VERDICT r2 next-step #7).
+
+Data: `write_synthetic_kitti_tree` fabricates an on-disk KITTI tracking
+tree of constant-velocity cars with dense surface points; the standard
+converter then produces the tracking_object layout.  Training runs the
+reference's 3-stage recipe through the actual CLI (tools/train.py):
+
+  1. lidar-only from scratch  (--set LI_FUSION.ENABLED False)
+  2. fusion, bootstrapped from stage 1 via the strict=False partial
+     restore (the fusion/image parameters initialize fresh)
+  3. finetune: link/se heads only (--finetune), detector frozen
+
+Evaluation runs tools/eval.py on the held validation sequences: stage-1
+official AP, then stage-2 on-device MIP tracking + CLEAR-MOT.  Prints one
+JSON line with AP/MOTA; a driver (tests or CI) can assert thresholds.
+
+Designed for the real TPU (tens of ms/step); on CPU use tiny
+--epochs/--frames.  Usage:
+  python tools/synthetic_ladder.py --out /tmp/ladder --frames 24 \
+      --epochs1 500 --epochs2 150 --epochs3 60
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), '..')))
+
+
+def run_train(argv):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'train_cli', os.path.join(os.path.dirname(__file__), 'train.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = sys.argv
+    sys.argv = ['train.py'] + argv
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+
+
+def latest_ckpt(ckpt_dir):
+    cands = sorted(glob.glob(os.path.join(ckpt_dir, 'checkpoint_epoch_*')),
+                   key=os.path.getmtime)
+    assert cands, f'no checkpoints in {ckpt_dir}'
+    stem = cands[-1]
+    return stem[:-len('.ckpt')] if stem.endswith('.ckpt') else stem
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', type=str, default='output/ladder')
+    ap.add_argument('--frames', type=int, default=24,
+                    help='frames per synthetic sequence')
+    ap.add_argument('--seqs', type=int, default=4,
+                    help='sequences (train/val split per the standard '
+                         'KITTI seq-id lists)')
+    ap.add_argument('--epochs1', type=int, default=500)
+    ap.add_argument('--epochs2', type=int, default=150)
+    ap.add_argument('--epochs3', type=int, default=60)
+    ap.add_argument('--lr', type=float, default=1e-3)
+    ap.add_argument('--batch', type=int, default=4)
+    ap.add_argument('--seed', type=int, default=0)
+    args = ap.parse_args()
+
+    import __graft_entry__
+    from jmodt_tpu.data.converter import create_train_sample_data
+    from jmodt_tpu.data.synthetic import write_synthetic_kitti_tree
+
+    cfg = __graft_entry__._small_config()
+    root = os.path.abspath(args.out)
+    data_root = os.path.join(root, 'data')
+    tree = os.path.join(data_root, 'tracking')
+    if not os.path.isdir(os.path.join(data_root, 'tracking_object')):
+        write_synthetic_kitti_tree(
+            tree, cfg, n_seqs=args.seqs,
+            n_frames=args.frames, img_hw=(64, 128), seed=args.seed)
+        create_train_sample_data(
+            tree, os.path.join(data_root, 'tracking_object'),
+            num_seqs=args.seqs)
+
+    common = ['--data_root', data_root, '--small', '--workers', '0',
+              '--log_every', '50', '--ckpt_every', '50',
+              '--batch_size', str(args.batch)]
+
+    # NOTE --finetune is store_false (reference flag semantics): passing
+    # it DISABLES finetune mode, i.e. trains the full detector
+    # TRAIN.TMAX must track the stage's epoch count: the reference-default
+    # cosine T_max of 50 EPOCHS (config.py:185) anneals the lr to ~0 after
+    # 50 epochs, which starves any longer synthetic run
+    # ---- stage 1: lidar-only from scratch ----
+    out1 = os.path.join(root, 'stage1')
+    run_train(common + [
+        '--output_dir', out1, '--finetune',
+        '--epochs', str(args.epochs1),
+        '--set', 'LI_FUSION.ENABLED', 'False', 'TRAIN.LR', str(args.lr),
+        'TRAIN.TMAX', str(args.epochs1)])
+    ck1 = latest_ckpt(os.path.join(out1, 'ckpt'))
+
+    # ---- stage 2: fusion, partial-restore bootstrap ----
+    out2 = os.path.join(root, 'stage2')
+    run_train(common + [
+        '--output_dir', out2, '--finetune', '--ckpt', ck1,
+        '--epochs', str(args.epochs2),
+        '--set', 'TRAIN.LR', str(args.lr / 2),
+        'TRAIN.TMAX', str(args.epochs2)])
+    ck2 = latest_ckpt(os.path.join(out2, 'ckpt'))
+
+    # ---- stage 3: finetune link/se only (default mode) ----
+    out3 = os.path.join(root, 'stage3')
+    run_train(common + [
+        '--output_dir', out3, '--ckpt', ck2,
+        '--epochs', str(args.epochs3),
+        '--set', 'TRAIN.TMAX', str(args.epochs3)])
+    ck3 = latest_ckpt(os.path.join(out3, 'ckpt'))
+
+    # ---- eval: stage-1 AP + stage-2 MOT over the val sequences ----
+    import importlib.util
+    import logging
+    import types
+    spec = importlib.util.spec_from_file_location(
+        'eval_cli', os.path.join(os.path.dirname(__file__), 'eval.py'))
+    emod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(emod)
+    logger = logging.getLogger('ladder')
+    logger.setLevel(logging.INFO)
+    logger.addHandler(logging.StreamHandler())
+    eargs = types.SimpleNamespace(
+        data_root=data_root, det_output=os.path.join(root, 'det'),
+        output_dir=os.path.join(root, 'mot'), ckpt=ck3, tag='ladder',
+        hungarian=False, device_tracker=True, batch_seqs=True,
+        only_tracking=False, test=False, synthetic_frames=0, small=True,
+        max_dets=32, max_tracks=64)
+    ap_dict = emod.eval_joint_detection(eargs, cfg, logger) or {}
+    mota = emod.eval_tracking(eargs, cfg, logger)
+
+    print(json.dumps({
+        'ap_3d_moderate': float(ap_dict.get('Car_3d_moderate', -1.0)),
+        'ap_bev_moderate': float(ap_dict.get('Car_bev_moderate', -1.0)),
+        'mota': float(mota) if isinstance(mota, (int, float)) else None,
+        'stages': [args.epochs1, args.epochs2, args.epochs3],
+    }))
+
+
+if __name__ == '__main__':
+    main()

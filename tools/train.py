@@ -81,6 +81,13 @@ def main():
                              'parity; coordinator from env vars)')
     parser.add_argument('--small', action='store_true',
                         help='miniature config for smoke runs')
+    parser.add_argument('--ckpt_every', type=int, default=1,
+                        help='save a checkpoint every K epochs (final '
+                             'epoch always saves)')
+    parser.add_argument('--workers', type=int, default=4,
+                        help='DataLoader worker processes (reference '
+                             'tools/train.py:69-78 uses 4); 0 = in-process '
+                             '(faster on low-CPU hosts, bench_input.py)')
     parser.add_argument('--log_every', type=int, default=1,
                         help='fetch/log the loss scalar every K steps; '
                              'K>1 keeps steps queued back-to-back (a '
@@ -126,7 +133,8 @@ def main():
             classes=cfg.CLASSES, challenge=args.challenge, cfg=cfg,
             fixed_img_size=img_hw)
         train_loader_fn = make_loader(train_set, args.batch_size,
-                                      shuffle=True, num_workers=4)
+                                      shuffle=True,
+                                      num_workers=args.workers)
         steps_per_epoch = max(len(train_set) // args.batch_size, 1)
         val_loader_fn = None
         if args.train_with_eval:
@@ -136,7 +144,8 @@ def main():
                 classes=cfg.CLASSES, challenge=args.challenge, cfg=cfg,
                 fixed_img_size=img_hw)
             val_loader_fn = make_loader(val_set, args.batch_size,
-                                        shuffle=False, num_workers=2)
+                                        shuffle=False,
+                                        num_workers=min(args.workers, 2))
     else:
         logger.info('no --data_root: training on synthetic scenes')
         npoints = cfg.RPN.NUM_POINTS
@@ -201,6 +210,7 @@ def main():
     trainer = Trainer(cfg, model, state, tx, ckpt_dir=ckpt_dir,
                       tb_log=tb_log, mesh=mesh, log=logger,
                       ckpt_writer=ckpt_writer, log_every=args.log_every)
+    trainer.ckpt_every = max(args.ckpt_every, 1)
     logger.info('*************** Start training ***************')
     trainer.train(it, start_epoch, cfg.TRAIN.EPOCHS, train_loader_fn,
                   val_loader_fn)
