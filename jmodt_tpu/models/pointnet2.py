@@ -15,8 +15,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from jmodt_tpu.models.layers import PointwiseMLP
-from jmodt_tpu.ops.grouping import ball_query, group_points, group_xyz
-from jmodt_tpu.ops.interpolate import three_interpolate, three_nn
+from jmodt_tpu.ops.grouping import (ball_query, group_points_fl,
+                                    group_xyz)
+from jmodt_tpu.ops.interpolate import three_interpolate_fl, three_nn
 from jmodt_tpu.ops.sampling import farthest_point_sample, gather_xyz
 
 
@@ -60,9 +61,7 @@ class SAModuleMSG(nn.Module):
                 grouped_xyz = (group_xyz(xyz, nbr)
                                - new_xyz[:, :, None, :]).astype(cdt)
                 if features is not None:
-                    feats_cf = jnp.transpose(features, (0, 2, 1))  # (B, C, N)
-                    grouped = group_points(feats_cf, nbr)          # (B, C, M, S)
-                    grouped = jnp.transpose(grouped, (0, 2, 3, 1)).astype(cdt)
+                    grouped = group_points_fl(features, nbr).astype(cdt)
                     g = (jnp.concatenate([grouped_xyz, grouped], axis=-1)
                          if self.use_xyz else grouped)
                 else:
@@ -116,9 +115,8 @@ class FPModule(nn.Module):
             dist, idx = three_nn(unknown, known)
             recip = 1.0 / (dist + 1e-8)
             weight = (recip / jnp.sum(recip, axis=2, keepdims=True))
-            feats_cf = jnp.transpose(known_feats, (0, 2, 1)).astype(cdt)
-            interp = three_interpolate(feats_cf, idx, weight.astype(cdt))
-            interp = jnp.transpose(interp, (0, 2, 1))  # (B, n, C2)
+            interp = three_interpolate_fl(known_feats.astype(cdt), idx,
+                                          weight.astype(cdt))  # (B, n, C2)
         else:
             interp = jnp.broadcast_to(
                 known_feats, (known_feats.shape[0], unknown.shape[1],

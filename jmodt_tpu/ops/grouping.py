@@ -91,6 +91,19 @@ def group_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return flat.reshape(b, c, m, s)
 
 
+def group_points_fl(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Feature-LAST grouping: features (B, N, C), idx (B, M, S) ->
+    (B, M, S, C) — one gather, no layout change.  The channel-first
+    `group_points` forces a (B, C, N) transpose before and a
+    (B, M, S, C) transpose after; at SA shapes those moves cost more HBM
+    traffic than the gather itself (round-3 profile).  Kept alongside the
+    CUDA-layout version, which remains the oracle-tested reference form."""
+    b, n, c = features.shape
+    _, m, s = idx.shape
+    flat = jnp.take_along_axis(features, idx.reshape(b, m * s, 1), axis=1)
+    return flat.reshape(b, m, s, c)
+
+
 def group_xyz(xyz: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Point-layout grouping: xyz (B, N, 3), idx (B, M, S) -> (B, M, S, 3)."""
     b, n, _ = xyz.shape

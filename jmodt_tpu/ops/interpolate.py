@@ -68,3 +68,16 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     gathered = jnp.take_along_axis(features, idx.reshape(b, 1, n * 3), axis=2)
     gathered = gathered.reshape(b, c, n, 3)
     return jnp.sum(gathered * weight[:, None, :, :], axis=-1)
+
+
+def three_interpolate_fl(features: jnp.ndarray, idx: jnp.ndarray,
+                         weight: jnp.ndarray) -> jnp.ndarray:
+    """Feature-LAST weighted 3-point interpolation: features (B, M, C),
+    idx/weight (B, N, 3) -> (B, N, C).  Avoids the channel-first
+    transposes the CUDA-layout `three_interpolate` forces on its callers
+    (FPModule); one gather + one weighted sum (round-3 layout pass)."""
+    b, m, c = features.shape
+    n = idx.shape[1]
+    gathered = jnp.take_along_axis(features, idx.reshape(b, n * 3, 1),
+                                   axis=1).reshape(b, n, 3, c)
+    return jnp.sum(gathered * weight[..., None], axis=2)

@@ -212,3 +212,24 @@ def test_nms_block_sizes_agree(rng):
                                           np.asarray(ref_m))
             np.testing.assert_array_equal(np.asarray(got_i),
                                           np.asarray(ref_i))
+
+
+def test_feature_last_variants_match(rng):
+    """group_points_fl / three_interpolate_fl == the CUDA-layout forms."""
+    from jmodt_tpu.ops.grouping import group_points_fl
+    from jmodt_tpu.ops.interpolate import three_interpolate_fl
+    feats = rng.randn(2, 50, 8).astype(np.float32)       # (B, N, C)
+    idx = rng.randint(0, 50, size=(2, 10, 4)).astype(np.int32)
+    got = np.asarray(group_points_fl(feats, idx))
+    want = np.asarray(group_points(
+        np.transpose(feats, (0, 2, 1)), idx))            # (B, C, M, S)
+    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)))
+
+    kf = rng.randn(2, 16, 5).astype(np.float32)          # (B, M, C)
+    ii = rng.randint(0, 16, size=(2, 30, 3)).astype(np.int32)
+    w = rng.rand(2, 30, 3).astype(np.float32)
+    got = np.asarray(three_interpolate_fl(kf, ii, w))
+    want = np.asarray(three_interpolate(
+        np.transpose(kf, (0, 2, 1)), ii, w))             # (B, C, N)
+    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 1)),
+                               rtol=1e-5)

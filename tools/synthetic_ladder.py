@@ -69,6 +69,9 @@ def main():
     ap.add_argument('--lr', type=float, default=1e-3)
     ap.add_argument('--batch', type=int, default=4)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--wide', action='store_true',
+                    help='double the miniature model widths and point '
+                         'budget (capacity headroom for the ladder)')
     args = ap.parse_args()
 
     import __graft_entry__
@@ -76,6 +79,34 @@ def main():
     from jmodt_tpu.data.synthetic import write_synthetic_kitti_tree
 
     cfg = __graft_entry__._small_config()
+    if args.wide:
+        import dataclasses
+        from jmodt_tpu.config import RCNNSAConfig, SAConfig
+        sa = SAConfig(
+            NPOINTS=(256, 128, 64, 32),
+            RADIUS=cfg.RPN.SA_CONFIG.RADIUS,
+            NSAMPLE=((8, 16),) * 4,
+            MLPS=(((16, 16, 32), (16, 16, 32)),
+                  ((32, 32, 64), (32, 32, 64)),
+                  ((64, 64, 128), (64, 64, 128)),
+                  ((128, 128, 256), (128, 128, 256))))
+        cfg = dataclasses.replace(
+            cfg,
+            RPN=dataclasses.replace(
+                cfg.RPN, NUM_POINTS=1024, SA_CONFIG=sa,
+                FP_MLPS=((64, 64), (128, 128), (256, 256), (256, 256)),
+                CLS_FC=(64,), REG_FC=(64,)),
+            RCNN=dataclasses.replace(
+                cfg.RCNN, NUM_POINTS=64,
+                SA_CONFIG=RCNNSAConfig(
+                    NPOINTS=(32, 16, -1), RADIUS=(0.2, 0.4, 100.0),
+                    NSAMPLE=(8, 8, 8),
+                    MLPS=((64, 64, 64), (64, 64, 128), (128, 128, 256))),
+                XYZ_UP_LAYER=(64, 64), CLS_FC=(128, 128),
+                REG_FC=(128, 128)))
+        # the CLIs rebuild cfg from --small; patch the entry's factory so
+        # every stage sees the widened config
+        __graft_entry__._small_config = lambda: cfg
     root = os.path.abspath(args.out)
     data_root = os.path.join(root, 'data')
     tree = os.path.join(data_root, 'tracking')
