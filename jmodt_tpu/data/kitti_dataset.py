@@ -269,8 +269,12 @@ class KittiDataset:
             far = np.flatnonzero(pts_rect[:, 2] >= 40.0)
             if len(far) >= self.npoints:
                 # degenerate case the reference cannot hit at npoints=16384:
-                # more far points than the budget — subsample far directly
-                choice = self.rng.choice(far, self.npoints, replace=False)
+                # more far points than the whole budget.  Sample uniformly
+                # over ALL points — taking only far points would discard
+                # every near (typically foreground-bearing) point, which
+                # silently zeroes the fg labels in miniature configs
+                choice = self.rng.choice(len(pts_rect), self.npoints,
+                                         replace=False)
             else:
                 near_choice = self.rng.choice(
                     near, self.npoints - len(far), replace=False)

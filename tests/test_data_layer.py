@@ -146,6 +146,10 @@ def test_converter_and_dataset(fake_kitti):
         == set(batch['gt_tids'][1][batch['gt_tids'][1] > 0]) == {3.0, 4.0}
     # pts normalized xy within [-1, 1]
     assert np.abs(batch['pts_xy']).max() <= 1.0
+    # the fixture has more far (z>=40) points than npoints, hitting the
+    # degenerate near/far branch: sampling must still keep near points
+    # (a far-only draw silently zeroes all fg labels in mini configs)
+    assert (batch['pts_input'][0][:, 2] < 40.0).any()
     # gt boxes present, in range
     assert (np.abs(batch['gt_boxes3d'][0]).sum(axis=1) > 0).sum() == 2
 
