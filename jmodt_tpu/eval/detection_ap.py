@@ -335,6 +335,41 @@ def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt,
     return tp, fp, fn, similarity, thresholds[:thresh_idx]
 
 
+def gather_match_scores(overlaps, dt_scores, ignored_gt, ignored_det,
+                        min_overlap):
+    """Matched-detection scores of the threshold-gathering pass — the
+    vectorized form of `compute_statistics(..., thresh=0.0,
+    compute_fp=False)` (reference eval.py:158-275).  With compute_fp off
+    the per-gt choice is simply "highest-score unassigned candidate above
+    min_overlap" (first index on ties, like the reference's strict `>`
+    scan); a score is recorded only when both the gt and the chosen det
+    are same-class (ignored flag 0).  The sequential gt loop carries the
+    assignment state; the det scan is a masked argmax.
+
+    :param overlaps: (num_dt, num_gt)
+    :return: list of matched dt scores (the reference's `thresholds`)
+    """
+    det_size = len(dt_scores)
+    out = []
+    if det_size == 0:
+        return out
+    assigned = np.zeros(det_size, bool)
+    considered = np.asarray(ignored_det) != -1
+    dt_scores = np.asarray(dt_scores, np.float64)
+    for i in range(len(ignored_gt)):
+        gi = ignored_gt[i]
+        if gi == -1:
+            continue
+        cand = considered & ~assigned & (overlaps[:, i] > min_overlap)
+        if not cand.any():
+            continue
+        j = int(np.argmax(np.where(cand, dt_scores, -np.inf)))
+        assigned[j] = True
+        if gi == 0 and ignored_det[j] == 0:
+            out.append(float(dt_scores[j]))
+    return out
+
+
 def compute_statistics_batch(overlaps, gt_datas, dt_datas, ignored_gt,
                              ignored_det, dc_bboxes, metric, min_overlap,
                              thresholds, compute_aos=False):
@@ -519,12 +554,9 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
             for k, min_overlap in enumerate(min_overlaps[:, metric, m]):
                 thresholdss = []
                 for i in range(len(gt_annos)):
-                    _, _, _, _, th = compute_statistics(
-                        overlaps[i], gt_datas_list[i], dt_datas_list[i],
-                        ignored_gts[i], ignored_dets[i], dontcares[i],
-                        metric, min_overlap=min_overlap, thresh=0.0,
-                        compute_fp=False)
-                    thresholdss += th.tolist()
+                    thresholdss += gather_match_scores(
+                        overlaps[i], dt_datas_list[i][:, -1],
+                        ignored_gts[i], ignored_dets[i], min_overlap)
                 thresholds = np.array(
                     get_thresholds(np.array(thresholdss),
                                    total_num_valid_gt))

@@ -16,8 +16,9 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=('chunk',))
-def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048):
+@functools.partial(jax.jit, static_argnames=('chunk', 'use_pallas'))
+def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048,
+             use_pallas: bool = True):
     """3 nearest neighbors of each unknown point among the known points.
 
     :param unknown: (B, N, 3)
@@ -26,6 +27,13 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048):
         matching the sqrt at pointnet2_utils.py:98.
     """
     n = unknown.shape[1]
+    if use_pallas and jax.default_backend() == 'tpu' and n % 128 == 0 \
+            and n >= 1024:
+        # fused distance+top-3 in VMEM: skips the (N, M) HBM matrix and
+        # the top_k sort (256 MB + sort at the finest FP level).  Small
+        # levels (N < 1024) stay on the XLA path — grid setup dominates.
+        from jmodt_tpu.ops.pallas.three_nn import three_nn_pallas
+        return three_nn_pallas(unknown, known)
     chunk = min(chunk, n)
     pad = (-n) % chunk
     unknown_p = jnp.pad(unknown, ((0, 0), (0, pad), (0, 0)))

@@ -64,6 +64,51 @@ def make_joint_step(cfg: Config, model: PointRCNN, link_apply: Callable,
     return joint
 
 
+def make_batched_joint_step(cfg: Config, model: PointRCNN,
+                            link_apply: Callable, track_k: int = 16,
+                            max_tracks: int = 64,
+                            det_score_thresh: float = 0.85, **tracker_kw):
+    """S independent streams advance in LOCKSTEP through one program:
+    batched detection (the model forward is batch-parallel, so S frames
+    cost barely more than 1 — the per-frame scans of FPS/NMS run on all
+    streams simultaneously) + the vmapped tracker step.  This is the
+    fused-throughput analog of tools/eval.py --batch_seqs (which batches
+    only stage 2 from detection files); the reference evaluates its val
+    sequences serially (reference tools/eval.py:351-397).
+
+    joint(variables, link_params, states, frame_ids (S,), pts (S, N, 3),
+          imgs (S, H, W, 3), xys (S, N, 2)) -> (states, packed (S, T, 10))
+
+    Build `states` with `init_batched_state(S, max_tracks, feat_dim)`;
+    packed rows are [tid, x, y, z, h, w, l, ry, score, emit] per stream.
+    """
+    det_step = make_detection_step(cfg, model, jit=False)
+    trk_step = make_device_tracker_step(link_apply, jit=False, **tracker_kw)
+    btrk = jax.vmap(trk_step, in_axes=(0, 0, 0, 0, 0, 0, None))
+
+    @jax.jit
+    def joint(variables, link_params, states: TrackerState, frame_ids,
+              pts, imgs, xys):
+        det = det_step(variables, pts, imgs, xys)
+        scores = jnp.where(det['keep'], det['scores'], -1.0)      # (S, M)
+        top = jax.lax.top_k(scores, track_k)[1]                   # (S, K)
+        det_boxes = jnp.take_along_axis(det['boxes'], top[..., None], 1)
+        det_scores = jnp.take_along_axis(scores, top, 1)
+        det_feats = jnp.take_along_axis(det['feats'], top[..., None], 1)
+        det_mask = det_scores > det_score_thresh
+
+        states, out = btrk(states, frame_ids, det_boxes, det_scores,
+                           det_feats, det_mask, link_params)
+        packed = jnp.concatenate([
+            out['tid'].astype(jnp.float32)[..., None],
+            out['box'],
+            out['score'][..., None],
+            out['emit'].astype(jnp.float32)[..., None]], axis=-1)
+        return states, packed
+
+    return joint
+
+
 def make_scan_step(cfg: Config, model: PointRCNN, link_apply: Callable,
                    chunk: int, track_k: int = 16, max_tracks: int = 64,
                    det_score_thresh: float = 0.85, **tracker_kw):

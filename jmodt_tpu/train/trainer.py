@@ -154,6 +154,7 @@ class Trainer:
         it = start_it
         key = jax.random.PRNGKey(seed)
         min_val_loss = float('inf')
+        last_logged = 0.0  # carried across epochs shorter than log_every
         prev_train_loss = prev_val_loss = -1.0
         counter = 0
         val_loss_epoch = 0.0
@@ -174,8 +175,11 @@ class Trainer:
                         for k, v in _scalarize(tb).items():
                             self.tb_log.add_scalar('train_' + k, v, it)
             trained_epoch = epoch + 1
+            # epochs with fewer than log_every its sample no loss; report
+            # the last sampled value instead of a misleading 0.0
             train_loss_epoch = (sum(train_losses) / len(train_losses)
-                                if train_losses else 0.0)
+                                if train_losses else last_logged)
+            last_logged = train_loss_epoch
             self.log.info('epoch %d: train_loss=%.4f (%.1fs, %d its)',
                           trained_epoch, train_loss_epoch,
                           time.time() - t0, it - start_it)

@@ -139,3 +139,27 @@ def test_full_eval_still_consistent():
         dt.append(make_anno(BOXES, scores=rng.uniform(0.5, 1.0, 3)))
     _, ret = get_official_eval_result(gt, dt, 'Car')
     assert ret['Car_3d_easy'] == pytest.approx(100.0, abs=0.1)
+
+
+@pytest.mark.parametrize('difficulty', [0, 1, 2])
+def test_gather_matches_scalar_on_random_frames(difficulty):
+    """The vectorized threshold-gathering pass returns exactly the scalar
+    transcription's matched-score list (order included)."""
+    from jmodt_tpu.eval.detection_ap import gather_match_scores
+    rng = np.random.RandomState(100 + difficulty)
+    nonempty = 0
+    for _ in range(80):
+        gt, dt, gt_datas, dt_datas, overlaps = random_frame(rng)
+        _, ignored_gt, ignored_det, dc_bboxes = clean_data(
+            gt, dt, 0, difficulty)
+        for min_overlap in (0.5, 0.7):
+            _, _, _, _, th = compute_statistics(
+                overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
+                dc_bboxes, metric=0, min_overlap=min_overlap, thresh=0.0,
+                compute_fp=False)
+            got = gather_match_scores(
+                overlaps, dt_datas[:, -1] if len(dt_datas) else
+                np.zeros(0), ignored_gt, ignored_det, min_overlap)
+            assert got == th.tolist()
+            nonempty += len(got) > 0
+    assert nonempty >= 3  # difficulty-0 gates drop most random gts

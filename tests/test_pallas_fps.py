@@ -23,3 +23,20 @@ def test_first_index_is_zero(rng):
     got = np.asarray(farthest_point_sample_pallas(xyz, 32, interpret=True))
     assert got[0, 0] == 0
     assert len(set(got[0].tolist())) == 32  # distinct picks
+
+
+def test_pallas_three_nn_matches_xla():
+    """Fused Pallas 3-NN (interpret mode) is index-exact vs the XLA
+    matmul+top_k path, including the M-padding sentinel branch."""
+    import jax.numpy as jnp
+    from jmodt_tpu.ops.interpolate import three_nn
+    from jmodt_tpu.ops.pallas.three_nn import three_nn_pallas
+    rng = np.random.RandomState(3)
+    for n, m in ((256, 100), (512, 256), (128, 64)):
+        u = jnp.asarray(rng.randn(2, n, 3).astype(np.float32) * 10)
+        k = jnp.asarray(rng.randn(2, m, 3).astype(np.float32) * 10)
+        d_ref, i_ref = three_nn(u, k, use_pallas=False)
+        d_p, i_p = three_nn_pallas(u, k, interpret=True)
+        assert (np.asarray(i_ref) == np.asarray(i_p)).all()
+        np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_p),
+                                   atol=1e-4)

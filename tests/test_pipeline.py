@@ -90,3 +90,44 @@ def test_scan_pipeline_ragged_tail(setup):
     for _, rows in results:
         for tid, box, score in rows:
             assert tid > 0 and np.isfinite(box).all()
+
+
+def test_batched_joint_matches_independent(setup):
+    """S=2 lockstep streams through make_batched_joint_step emit exactly
+    what two independent make_joint_step streams emit."""
+    import jax.numpy as jnp
+    from jmodt_tpu.pipeline import make_batched_joint_step, make_joint_step
+    from jmodt_tpu.tracking.device_tracker import (init_batched_state,
+                                                   init_state)
+    cfg, model, variables, head, link_p, feat_dim, frames = setup
+    kw = dict(track_k=8, det_score_thresh=0.0, max_tracks=16)
+    joint = make_joint_step(cfg, model, head.apply, **kw)
+    bj = make_batched_joint_step(cfg, model, head.apply, track_k=8,
+                                 det_score_thresh=0.0, max_tracks=16)
+
+    streams = [frames[0:3], frames[3:6]]  # two 3-frame streams
+    # serial reference: each stream independently
+    serial = []
+    for st_frames in streams:
+        st = init_state(16, feat_dim)
+        outs = []
+        for i, f in enumerate(st_frames):
+            st, packed = joint(variables, link_p, st, jnp.asarray(i + 1),
+                               f['pts_input'], f['img'], f['pts_xy'])
+            outs.append(np.asarray(packed))
+        serial.append(outs)
+
+    # lockstep batched
+    states = init_batched_state(2, 16, feat_dim)
+    for i in range(3):
+        pts = np.concatenate([streams[0][i]['pts_input'],
+                              streams[1][i]['pts_input']])
+        img = np.concatenate([streams[0][i]['img'], streams[1][i]['img']])
+        xy = np.concatenate([streams[0][i]['pts_xy'],
+                             streams[1][i]['pts_xy']])
+        fids = np.asarray([i + 1, i + 1], np.int32)
+        states, packed = bj(variables, link_p, states, fids, pts, img, xy)
+        arr = np.asarray(packed)
+        for s in range(2):
+            np.testing.assert_allclose(arr[s], serial[s][i],
+                                       rtol=1e-4, atol=1e-4)

@@ -72,6 +72,15 @@ def main():
     ap.add_argument('--wide', action='store_true',
                     help='double the miniature model widths and point '
                          'budget (capacity headroom for the ladder)')
+    ap.add_argument('--stage1_ckpt', type=str, default=None,
+                    help='reuse an existing stage-1 (lidar-only) '
+                         'checkpoint stem instead of training stage 1')
+    ap.add_argument('--set', dest='set_kv', nargs='*', default=[],
+                    help='extra cfg overrides forwarded to every training '
+                         'stage, e.g. --set TRAIN.GRAD_NORM_CLIP 10 '
+                         '(mini-scale runs clip every step at the '
+                         'reference default of 1.0, throttling the '
+                         'effective lr ~10x)')
     args = ap.parse_args()
 
     import __graft_entry__
@@ -128,13 +137,16 @@ def main():
     # cosine T_max of 50 EPOCHS (config.py:185) anneals the lr to ~0 after
     # 50 epochs, which starves any longer synthetic run
     # ---- stage 1: lidar-only from scratch ----
-    out1 = os.path.join(root, 'stage1')
-    run_train(common + [
-        '--output_dir', out1, '--finetune',
-        '--epochs', str(args.epochs1),
-        '--set', 'LI_FUSION.ENABLED', 'False', 'TRAIN.LR', str(args.lr),
-        'TRAIN.TMAX', str(args.epochs1)])
-    ck1 = latest_ckpt(os.path.join(out1, 'ckpt'))
+    if args.stage1_ckpt:
+        ck1 = args.stage1_ckpt
+    else:
+        out1 = os.path.join(root, 'stage1')
+        run_train(common + [
+            '--output_dir', out1, '--finetune',
+            '--epochs', str(args.epochs1),
+            '--set', 'LI_FUSION.ENABLED', 'False', 'TRAIN.LR',
+            str(args.lr), 'TRAIN.TMAX', str(args.epochs1)] + args.set_kv)
+        ck1 = latest_ckpt(os.path.join(out1, 'ckpt'))
 
     # ---- stage 2: fusion, partial-restore bootstrap ----
     out2 = os.path.join(root, 'stage2')
@@ -142,7 +154,7 @@ def main():
         '--output_dir', out2, '--finetune', '--ckpt', ck1,
         '--epochs', str(args.epochs2),
         '--set', 'TRAIN.LR', str(args.lr / 2),
-        'TRAIN.TMAX', str(args.epochs2)])
+        'TRAIN.TMAX', str(args.epochs2)] + args.set_kv)
     ck2 = latest_ckpt(os.path.join(out2, 'ckpt'))
 
     # ---- stage 3: finetune link/se only (default mode) ----
@@ -150,7 +162,7 @@ def main():
     run_train(common + [
         '--output_dir', out3, '--ckpt', ck2,
         '--epochs', str(args.epochs3),
-        '--set', 'TRAIN.TMAX', str(args.epochs3)])
+        '--set', 'TRAIN.TMAX', str(args.epochs3)] + args.set_kv)
     ck3 = latest_ckpt(os.path.join(out3, 'ckpt'))
 
     # ---- eval: stage-1 AP + stage-2 MOT over the val sequences ----
