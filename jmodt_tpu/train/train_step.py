@@ -241,7 +241,15 @@ def make_optimizer(cfg: Config, params, steps_per_epoch: int
     )
     mask = trainable_mask(cfg, params)
     if not all(jax.tree_util.tree_leaves(mask)):
-        tx = optax.masked(tx, mask)
+        # optax.masked PASSES THROUGH the raw gradients of mask=False
+        # leaves (identity, not zero) — on its own it would apply the
+        # un-scaled, un-clipped gradient to every "frozen" parameter
+        # (gradient ASCENT at lr=1: stage-3 finetune exploded the frozen
+        # RCNN trunk 100x through the link/se backprop before this was
+        # caught).  Zero the frozen leaves explicitly.
+        inv = jax.tree_util.tree_map(lambda t: not t, mask)
+        tx = optax.chain(optax.masked(tx, mask),
+                         optax.masked(optax.set_to_zero(), inv))
     return tx
 
 

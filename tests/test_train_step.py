@@ -108,6 +108,47 @@ def test_full_train_step(small_cfg, batch):
     assert np.isfinite(float(tb2['loss']))
 
 
+def test_finetune_step_freezes_detector(small_cfg, batch):
+    """Regression: optax.masked passes raw gradients through for
+    mask=False leaves — without an explicit set_to_zero the 'frozen'
+    detector trunk receives unscaled gradient ASCENT (observed: a
+    100-epoch link/se finetune grew the frozen RCNN xyz_up kernels from
+    |W|=1.3 to 138 through the link-loss backprop).  After one finetune
+    step every non-link/se parameter must be bit-identical."""
+    from jmodt_tpu.models import PointRCNN
+    from jmodt_tpu.train import create_train_state, make_train_step
+
+    cfg = dataclasses.replace(
+        small_cfg,
+        TRAIN=dataclasses.replace(small_cfg.TRAIN, FINETUNE=True),
+        RPN=dataclasses.replace(small_cfg.RPN, FIXED=True))
+    model = PointRCNN(cfg, mode='TRAIN')
+    variables = jax.jit(lambda k: model.init(
+        k, batch['pts_input'], batch['img'], batch['pts_xy'],
+        gt_boxes3d=batch['gt_boxes3d'], gt_tids=batch['gt_tids'],
+        sample_key=jax.random.PRNGKey(1), train=True))(jax.random.PRNGKey(0))
+    state, tx = create_train_state(cfg, variables, steps_per_epoch=10)
+    step = jax.jit(make_train_step(cfg, model, tx))
+
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    new_state, tb = step(state, jbatch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(tb['loss']))
+
+    from flax.traverse_util import flatten_dict
+    old = flatten_dict(state.params)
+    new = flatten_dict(new_state.params)
+    moved_frozen, moved_heads = [], []
+    for k in old:
+        path = '/'.join(str(p) for p in k)
+        delta = float(jnp.max(jnp.abs(old[k] - new[k])))
+        if 'link_layer' in path or 'se_layer' in path:
+            moved_heads.append(delta)
+        elif delta != 0.0:
+            moved_frozen.append((path, delta))
+    assert not moved_frozen, f'frozen params moved: {moved_frozen[:5]}'
+    assert max(moved_heads) > 0, 'link/se heads never trained'
+
+
 def test_dryrun_multichip_8():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)

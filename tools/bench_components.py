@@ -94,6 +94,15 @@ def main():
     fn = jax.jit(lambda x: farthest_point_sample(
         x, 128, use_pallas=args.pallas_fps))
     res['fps_roi_100x512_128'] = slope_time(fn, [cloud], it) * 1e3
+    # mid-level Pallas FPS below the n>=2048 dispatch threshold (B=1):
+    # direct kernel call to decide whether the threshold should drop
+    if jax.default_backend() == 'tpu':
+        from jmodt_tpu.ops.pallas.fps import farthest_point_sample_pallas
+        for n, m in [(1024, 256), (256, 64)]:
+            cloud = jax.random.normal(key, (1, n, 3)) * 30.0
+            fn = jax.jit(lambda x, _m=m: farthest_point_sample_pallas(
+                x, _m))
+            res[f'fps_pallas_{n}_{m}'] = slope_time(fn, [cloud], it) * 1e3
 
     # ---- ball query level 0 (the largest pairwise matrix) ----
     cloud = jax.random.normal(key, (1, 16384, 3)) * 30.0
@@ -133,10 +142,13 @@ def main():
     fn = jax.jit(lambda vv, a, b, c: fp.apply(vv, a, b, None, c, False))
     res['fp_level0'] = slope_time(fn, [v, fine, coarse, cfeat], it) * 1e3
 
-    # ---- three_nn at the FP0 shape ----
+    # ---- three_nn at the FP0 shape: Pallas (default on TPU) vs XLA ----
     from jmodt_tpu.ops.interpolate import three_nn
     fn = jax.jit(lambda a, b: three_nn(a, b))
     res['three_nn_16384x4096'] = slope_time(fn, [fine, coarse], it) * 1e3
+    fn = jax.jit(lambda a, b: three_nn(a, b, use_pallas=False))
+    res['three_nn_16384x4096_xla'] = slope_time(fn, [fine, coarse],
+                                                it) * 1e3
 
     # ---- greedy rotated NMS at eval shapes (100 keeps over 100 boxes) ----
     from jmodt_tpu.ops.nms import nms_bev
@@ -190,6 +202,15 @@ def main():
     det = make_detection_step(cfg, model)
     res['detection_step'] = slope_time(
         det, [variables, pts, jnp.asarray(f0['img']), xy], it) * 1e3
+
+    # ---- batched detection step (4 frames per program: the lockstep
+    # multi-stream / offline-eval condition; near-1x cost means the
+    # per-frame time is latency- not FLOP-bound) ----
+    pts4 = jnp.concatenate([pts] * 4)
+    img4 = jnp.concatenate([jnp.asarray(f0['img'])] * 4)
+    xy4 = jnp.concatenate([xy] * 4)
+    res['detection_step_b4'] = slope_time(det, [variables, pts4, img4, xy4],
+                                          it) * 1e3
 
     # ---- tracker step (state-chained) ----
     head = CorrelationHead(cfg.REID.LINK_FC, use_bn=cfg.REID.USE_BN)
