@@ -69,12 +69,17 @@ def make_batched_joint_step(cfg: Config, model: PointRCNN,
                             max_tracks: int = 64,
                             det_score_thresh: float = 0.85, **tracker_kw):
     """S independent streams advance in LOCKSTEP through one program:
-    batched detection (the model forward is batch-parallel, so S frames
-    cost barely more than 1 — the per-frame scans of FPS/NMS run on all
-    streams simultaneously) + the vmapped tracker step.  This is the
+    batched detection + the vmapped tracker step.  This is the
     fused-throughput analog of tools/eval.py --batch_seqs (which batches
     only stage 2 from detection files); the reference evaluates its val
     sequences serially (reference tools/eval.py:351-397).
+
+    Measured scaling (v5e, round 3): S=4 costs ~3.6x one frame — the
+    detection program is HBM-bandwidth-bound (grouped SA intermediates),
+    not latency-bound, so lockstep buys ~10% per-frame plus one dispatch
+    instead of four; it remains the right shape for multi-camera serving
+    (one program, one tracker state tensor) rather than a 4x throughput
+    trick.
 
     joint(variables, link_params, states, frame_ids (S,), pts (S, N, 3),
           imgs (S, H, W, 3), xys (S, N, 2)) -> (states, packed (S, T, 10))

@@ -120,9 +120,11 @@ def main():
     data_root = os.path.join(root, 'data')
     tree = os.path.join(data_root, 'tracking')
     if not os.path.isdir(os.path.join(data_root, 'tracking_object')):
+        # 128x256 with the writer's f=2h camera: projected car heights
+        # pass the official AP difficulty gates (synthetic.py camera note)
         write_synthetic_kitti_tree(
             tree, cfg, n_seqs=args.seqs,
-            n_frames=args.frames, img_hw=(64, 128), seed=args.seed)
+            n_frames=args.frames, img_hw=(128, 256), seed=args.seed)
         create_train_sample_data(
             tree, os.path.join(data_root, 'tracking_object'),
             num_seqs=args.seqs)
