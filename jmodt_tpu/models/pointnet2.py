@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from jmodt_tpu.models.layers import PointwiseMLP
+from jmodt_tpu.ops.fused_sa import fold_pointwise_mlp, fused_sa_eval
 from jmodt_tpu.ops.grouping import (ball_query, group_points_fl,
                                     group_xyz)
 from jmodt_tpu.ops.interpolate import three_interpolate_fl, three_nn
@@ -38,6 +39,7 @@ class SAModuleMSG(nn.Module):
     use_bn: bool = True
     dtype: Any = None
     use_pallas_fps: bool = False
+    fused_eval: bool = False
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False):
@@ -53,6 +55,23 @@ class SAModuleMSG(nn.Module):
             new_xyz = None
 
         cdt = self.dtype or xyz.dtype
+
+        # Eval fast path: BN-folded fused gather->MLP->max (ops/fused_sa.py,
+        # Pallas VMEM kernel on TPU).  Init runs the plain path below so the
+        # param tree is identical; applies only to the single-scale f32
+        # use_xyz levels (the RCNN head — where B=num_rois makes the unfused
+        # grouped intermediates cost ~30x their FLOPs in HBM traffic).
+        if (self.fused_eval and not train and not self.is_initializing()
+                and self.npoint is not None and features is not None
+                and self.use_xyz and len(self.mlps) == 1
+                and self.dtype in (None, jnp.float32)):
+            nbr = ball_query(self.radii[0], self.nsamples[0], xyz, new_xyz)
+            folded = fold_pointwise_mlp(
+                self.variables['params']['mlp_0'],
+                self.variables['batch_stats']['mlp_0']
+                if self.use_bn else None)
+            out = fused_sa_eval(xyz, features, new_xyz, nbr, folded)
+            return new_xyz, out, idx
         outs = []
         for i, (radius, nsample, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):

@@ -128,6 +128,7 @@ class RCNN(nn.Module):
                 mlps=(tuple(rc.SA_CONFIG.MLPS[k]),),
                 use_xyz=self.use_xyz, use_bn=rc.USE_BN, dtype=dtype,
                 use_pallas_fps=cfg.RPN.USE_PALLAS_FPS,
+                fused_eval=rc.FUSED_SA,
                 name=f'sa_{k}')(l_xyz, l_feats, train)
         # (R, 512): GroupAll leaves one group; f32 from here on — the feature
         # feeds the ReID correlation + tracker affinities

@@ -13,7 +13,10 @@ grouped max-pool ties, but we keep it bit-faithful anyway.
 
 Memory note: the naive (M, N) distance matrix at the first SA level is
 4096 x 16384 x 4 B ≈ 268 MB per (batch row, radius).  `chunk` bounds peak HBM
-by processing centroid blocks through `lax.map`.
+by processing centroid blocks through `lax.map` over the M axis only — the
+batch axis stays inside each block as a batched dot_general.  (An earlier
+version mapped over B as well; at RCNN shapes that serialized 100 tiny RoI
+problems behind one another and dominated the head's latency.)
 """
 
 from __future__ import annotations
@@ -23,58 +26,65 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# cap on B * chunk * N distance-matrix elements per block (64 MB of f32)
+_D2_BUDGET = 16 * 1024 * 1024
+
 
 @functools.partial(jax.jit, static_argnames=('nsample', 'chunk'))
 def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
-               new_xyz: jnp.ndarray, chunk: int = 1024) -> jnp.ndarray:
+               new_xyz: jnp.ndarray, chunk: int | None = None) -> jnp.ndarray:
     """First-`nsample` neighbors within `radius` (strict `d2 < radius^2`,
     ball_query_gpu.cu:379).
 
     :param xyz: (B, N, 3) all points
     :param new_xyz: (B, M, 3) query centroids
+    :param chunk: centroid-block size; default sizes it so the (B, chunk, N)
+        distance block stays under ~64 MB
     :return: (B, M, nsample) int32 indices into N
     """
-    n = xyz.shape[1]
+    b, n, _ = xyz.shape
     m = new_xyz.shape[1]
     r2 = radius * radius
+    if chunk is None:
+        chunk = max(128, _D2_BUDGET // (b * n))
     chunk = min(chunk, m)
     # pad M to a multiple of chunk so lax.map sees uniform blocks
     pad = (-m) % chunk
     new_xyz_p = jnp.pad(new_xyz, ((0, 0), (0, pad), (0, 0)))
 
-    def per_batch(args):
-        pts, queries = args  # (N, 3), (Mp, 3)
-        # squared distances via the matmul identity |q|^2 + |p|^2 - 2 q.p:
-        # 3x less HBM traffic than materializing (chunk, N, 3) differences,
-        # and the contraction rides the MXU.  Coordinates are zero-padded to
-        # 8 dims — sub-8 contractions fall off the MXU fast path.
-        pts8 = jnp.pad(pts, ((0, 0), (0, 5)))
-        p_sq = jnp.sum(pts * pts, axis=-1)  # (N,)
+    # squared distances via the matmul identity |q|^2 + |p|^2 - 2 q.p:
+    # 3x less HBM traffic than materializing (B, chunk, N, 3) differences,
+    # and the contraction rides the MXU.  Coordinates are zero-padded to
+    # 8 dims — sub-8 contractions fall off the MXU fast path.
+    pts8 = jnp.pad(xyz, ((0, 0), (0, 0), (0, 5)))        # (B, N, 8)
+    p_sq = jnp.sum(xyz * xyz, axis=-1)                   # (B, N)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
 
-        def per_block(q_block):  # (chunk, 3)
-            q8 = jnp.pad(q_block, ((0, 0), (0, 5)))
-            q_sq = jnp.sum(q_block * q_block, axis=-1)
-            d2 = (q_sq[:, None] + p_sq[None, :]
-                  - 2.0 * jnp.dot(q8, pts8.T,
-                                  preferred_element_type=jnp.float32))
-            in_rad = d2 < r2
-            key = jnp.where(in_rad, jnp.arange(n, dtype=jnp.int32)[None, :], n)
-            # nsample smallest keys = first hits in point order
-            neg_top, _ = jax.lax.top_k(-key, nsample)
-            idx = -neg_top  # ascending
-            first = idx[:, 0:1]
-            miss = idx >= n
-            # pad misses with the first hit; all-miss rows fall back to 0
-            # (the CUDA kernel leaves uninitialized memory there — callers
-            # guarantee at least one hit because centroids come from xyz)
-            fallback = jnp.where(first >= n, 0, first)
-            return jnp.where(miss, fallback, idx).astype(jnp.int32)
+    def per_block(q_block):  # (B, chunk, 3)
+        q8 = jnp.pad(q_block, ((0, 0), (0, 0), (0, 5)))
+        q_sq = jnp.sum(q_block * q_block, axis=-1)       # (B, chunk)
+        d2 = (q_sq[..., None] + p_sq[:, None, :]
+              - 2.0 * jax.lax.dot_general(
+                  q8, pts8, (((2,), (2,)), ((0,), (0,))),
+                  preferred_element_type=jnp.float32))   # (B, chunk, N)
+        key = jnp.where(d2 < r2, col, n)
+        # nsample smallest keys = first hits in point order
+        neg_top, _ = jax.lax.top_k(-key, nsample)
+        idx = -neg_top  # ascending
+        first = idx[..., 0:1]
+        miss = idx >= n
+        # pad misses with the first hit; all-miss rows fall back to 0
+        # (the CUDA kernel leaves uninitialized memory there — callers
+        # guarantee at least one hit because centroids come from xyz)
+        fallback = jnp.where(first >= n, 0, first)
+        return jnp.where(miss, fallback, idx).astype(jnp.int32)
 
-        blocks = queries.reshape(-1, chunk, 3)
-        return jax.lax.map(per_block, blocks).reshape(-1, nsample)
-
-    out = jax.lax.map(per_batch, (xyz, new_xyz_p))
-    return out[:, :m]
+    nblocks = (m + pad) // chunk
+    if nblocks == 1:
+        return per_block(new_xyz_p)[:, :m]
+    blocks = jnp.moveaxis(new_xyz_p.reshape(b, nblocks, chunk, 3), 1, 0)
+    out = jax.lax.map(per_block, blocks)                 # (nblk, B, chunk, S)
+    return jnp.moveaxis(out, 0, 1).reshape(b, -1, nsample)[:, :m]
 
 
 def group_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

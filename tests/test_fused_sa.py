@@ -1,0 +1,119 @@
+"""Fused eval SA path (ops/fused_sa.py + ops/pallas/grouped_gather_mlp.py)
+vs the plain flax module: BN folding, hoisted first Dense, Pallas kernel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jmodt_tpu.models.pointnet2 import SAModuleMSG
+from jmodt_tpu.ops.fused_sa import fold_pointwise_mlp, fused_sa_eval
+from jmodt_tpu.ops.grouping import ball_query
+from jmodt_tpu.ops.pallas.grouped_gather_mlp import grouped_gather_mlp_max
+from jmodt_tpu.ops.sampling import farthest_point_sample, gather_xyz
+
+
+def _random_level(key, b=3, n=64, c=16, m=16, s=8, mlp=(24, 24, 32),
+                  use_bn=True):
+    kx, kf, ki, kbn = jax.random.split(key, 4)
+    xyz = jax.random.normal(kx, (b, n, 3), jnp.float32)
+    feats = jax.random.normal(kf, (b, n, c), jnp.float32)
+    mod = SAModuleMSG(npoint=m, radii=(1.5,), nsamples=(s,),
+                      mlps=(mlp,), use_xyz=True, use_bn=use_bn)
+    variables = mod.init(ki, xyz, feats, False)
+    if use_bn:
+        # init leaves mean=0/var=1; randomize so the fold is non-trivial
+        stats = jax.tree.map(
+            lambda x: jax.random.uniform(kbn, x.shape, minval=0.3,
+                                         maxval=1.7),
+            variables['batch_stats'])
+        variables = {'params': variables['params'], 'batch_stats': stats}
+    return mod, variables, xyz, feats
+
+
+@pytest.mark.parametrize('use_bn', [True, False])
+def test_fold_matches_module(use_bn):
+    """Folded (W, b) chain == PointwiseMLP eval apply (BN running stats)."""
+    mod, variables, xyz, feats = _random_level(jax.random.PRNGKey(0),
+                                               use_bn=use_bn)
+    ref_xyz, ref_out, ref_idx = mod.apply(variables, xyz, feats, False)
+
+    idx = farthest_point_sample(xyz, 16)
+    new_xyz = gather_xyz(xyz, idx)
+    nbr = ball_query(1.5, 8, xyz, new_xyz)
+    folded = fold_pointwise_mlp(
+        variables['params']['mlp_0'],
+        variables['batch_stats']['mlp_0'] if use_bn else None)
+    out = fused_sa_eval(xyz, feats, new_xyz, nbr, folded, use_pallas=False)
+    np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_kernel_matches_xla_fallback():
+    """grouped_gather_mlp_max (interpret) == the XLA fallback math, at the
+    real RCNN sa_0 tile geometry (S=64 so TMI subtiling engages)."""
+    key = jax.random.PRNGKey(1)
+    kx, kf, kw = jax.random.split(key, 3)
+    b, n, m, s, c = 2, 256, 128, 64, 16
+    xyz = jax.random.normal(kx, (b, n, 3), jnp.float32)
+    feats = jax.random.normal(kf, (b, n, c), jnp.float32)
+    idx = farthest_point_sample(xyz, m)
+    new_xyz = gather_xyz(xyz, idx)
+    nbr = ball_query(2.5, s, xyz, new_xyz)
+
+    ks = jax.random.split(kw, 6)
+    widths = [(3 + c, 24), (24, 24), (24, 32)]
+    layers = tuple(
+        (jax.random.normal(ks[2 * i], wshape, jnp.float32) * 0.2,
+         jax.random.normal(ks[2 * i + 1], (wshape[1],), jnp.float32) * 0.1)
+        for i, wshape in enumerate(widths))
+
+    ref = fused_sa_eval(xyz, feats, new_xyz, nbr, layers, use_pallas=False)
+
+    (w1, b1) = layers[0]
+    catf = jnp.concatenate([xyz, feats], axis=-1)
+    out = grouped_gather_mlp_max(catf @ w1, nbr, new_xyz @ w1[:3], b1,
+                                 layers[1:], interpret=True)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('use_bn', [True, False])
+def test_module_fused_eval_flag(use_bn):
+    """SAModuleMSG(fused_eval=True) eval apply == plain module apply."""
+    mod, variables, xyz, feats = _random_level(jax.random.PRNGKey(2),
+                                               use_bn=use_bn)
+    _, ref_out, _ = mod.apply(variables, xyz, feats, False)
+    fmod = SAModuleMSG(npoint=16, radii=(1.5,), nsamples=(8,),
+                       mlps=((24, 24, 32),), use_xyz=True, use_bn=use_bn,
+                       fused_eval=True)
+    new_xyz, out, idx = fmod.apply(variables, xyz, feats, False)
+    np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=2e-5)
+    # train still takes the plain path (BN batch stats + dropout semantics)
+    if use_bn:
+        _, tr_out, _ = fmod.apply(variables, xyz, feats, True,
+                                  mutable=['batch_stats'])[0]
+
+
+def test_rcnn_forward_fused_flag_matches():
+    """Full RCNN forward: FUSED_SA on == off (eval, no gt_tids)."""
+    import dataclasses
+
+    from jmodt_tpu.config import Config, RCNNSAConfig
+    from jmodt_tpu.models.rcnn import RCNN
+
+    base = Config()
+    rcnn_sa = RCNNSAConfig(NPOINTS=(16, 8, -1), NSAMPLE=(8, 8, 8),
+                           MLPS=((16, 16, 16), (16, 16, 24), (24, 24, 32)))
+    mk = lambda fused: dataclasses.replace(base, RCNN=dataclasses.replace(
+        base.RCNN, NUM_POINTS=64, SA_CONFIG=rcnn_sa, XYZ_UP_LAYER=(16, 16),
+        CLS_FC=(16,), REG_FC=(16,), FUSED_SA=fused))
+    key = jax.random.PRNGKey(3)
+    rc_ch = 3 + 1 + 1 + 16
+    x = jax.random.normal(key, (4, 64, rc_ch), jnp.float32)
+    model = RCNN(mk(False))
+    variables = model.init(jax.random.PRNGKey(4), x, gt_tids=None,
+                           train=False)
+    ref = model.apply(variables, x, gt_tids=None, train=False)
+    out = RCNN(mk(True)).apply(variables, x, gt_tids=None, train=False)
+    for k in ('rcnn_cls', 'rcnn_reg', 'rcnn_feat'):
+        np.testing.assert_allclose(out[k], ref[k], rtol=2e-4, atol=2e-5)
