@@ -56,12 +56,16 @@ class SAModuleMSG(nn.Module):
 
         cdt = self.dtype or xyz.dtype
 
-        # Eval fast path: BN-folded fused gather->MLP->max (ops/fused_sa.py,
+        # Fused fast path: BN-folded gather->MLP->max (ops/fused_sa.py,
         # Pallas VMEM kernel on TPU).  Init runs the plain path below so the
         # param tree is identical; applies only to the single-scale f32
         # use_xyz levels (the RCNN head — where B=num_rois makes the unfused
         # grouped intermediates cost ~30x their FLOPs in HBM traffic).
-        if (self.fused_eval and not train and not self.is_initializing()
+        # Train is eligible only without BN (no batch statistics to update);
+        # there the XLA form runs — same math, differentiable by autodiff —
+        # since the Pallas kernel defines no VJP.
+        if (self.fused_eval and not self.is_initializing()
+                and (not train or not self.use_bn)
                 and self.npoint is not None and features is not None
                 and self.use_xyz and len(self.mlps) == 1
                 and self.dtype in (None, jnp.float32)):
@@ -70,7 +74,8 @@ class SAModuleMSG(nn.Module):
                 self.variables['params']['mlp_0'],
                 self.variables['batch_stats']['mlp_0']
                 if self.use_bn else None)
-            out = fused_sa_eval(xyz, features, new_xyz, nbr, folded)
+            out = fused_sa_eval(xyz, features, new_xyz, nbr, folded,
+                                use_pallas=False if train else None)
             return new_xyz, out, idx
         outs = []
         for i, (radius, nsample, mlp) in enumerate(

@@ -88,10 +88,30 @@ def test_module_fused_eval_flag(use_bn):
                        fused_eval=True)
     new_xyz, out, idx = fmod.apply(variables, xyz, feats, False)
     np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=2e-5)
-    # train still takes the plain path (BN batch stats + dropout semantics)
+    # with BN, train still takes the plain path (batch-stats semantics)
     if use_bn:
         _, tr_out, _ = fmod.apply(variables, xyz, feats, True,
                                   mutable=['batch_stats'])[0]
+
+
+def test_fused_train_gradients_match():
+    """Without BN the fused path is train-eligible: forward AND parameter
+    gradients match the plain module (XLA fallback, autodiff)."""
+    mod, variables, xyz, feats = _random_level(jax.random.PRNGKey(5),
+                                               use_bn=False)
+    fmod = SAModuleMSG(npoint=16, radii=(1.5,), nsamples=(8,),
+                       mlps=((24, 24, 32),), use_xyz=True, use_bn=False,
+                       fused_eval=True)
+
+    def loss(params, m):
+        _, out, _ = m.apply({'params': params}, xyz, feats, True)
+        return jnp.sum(out * out)
+
+    ref_l, ref_g = jax.value_and_grad(loss)(variables['params'], mod)
+    fl, fg = jax.value_and_grad(loss)(variables['params'], fmod)
+    np.testing.assert_allclose(fl, ref_l, rtol=1e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=5e-4, atol=1e-4), fg, ref_g)
 
 
 def test_rcnn_forward_fused_flag_matches():

@@ -122,7 +122,7 @@ def main():
         mod = SAModuleMSG(npoint=sa_cfg.NPOINTS[k], radii=sa_cfg.RADIUS[k],
                           nsamples=sa_cfg.NSAMPLE[k], mlps=mlps,
                           use_bn=cfg.RPN.USE_BN,
-                          use_pallas_fps=args.pallas_fps)
+                          use_pallas_fps=cfg.RPN.USE_PALLAS_FPS)
         cloud = jax.random.normal(key, (1, counts[k], 3)) * 30.0
         feats = (jax.random.normal(key, (1, counts[k], c_in))
                  if c_in else None)
@@ -197,6 +197,104 @@ def main():
                                       train=False))(jax.random.PRNGKey(0))
     fn = jax.jit(lambda v, p, im, x: bb.apply(v, p, im, x, train=False))
     res['backbone'] = slope_time(fn, [bvars, pts, img_f32, xy], it) * 1e3
+
+    # ---- backbone internals attribution (fusion/pyramid/FP-stack) ----
+    from jmodt_tpu.models.backbone import AttentionFusion
+    from jmodt_tpu.models.image_backbone import (ImagePyramidFusion,
+                                                 feature_gather)
+    li = cfg.LI_FUSION
+    img_levels = [jax.random.normal(key, (1, 384 >> (k + 1),
+                                          1280 >> (k + 1),
+                                          li.IMG_CHANNELS[k + 1]))
+                  for k in range(4)]
+    pyr = ImagePyramidFusion(reduce_channels=li.DeConv_Reduce,
+                             kernels=li.DeConv_Kernels,
+                             out_channels=li.IMG_FEATURES_CHANNEL // 4)
+    pvars = jax.jit(lambda k: pyr.init(k, img_levels,
+                                       train=False))(jax.random.PRNGKey(5))
+    fn = jax.jit(lambda v, a, b, c, d: pyr.apply(v, [a, b, c, d],
+                                                 train=False))
+    res['img_pyramid'] = slope_time(fn, [pvars] + img_levels, it) * 1e3
+
+    full_img = jax.random.normal(
+        key, (1, 384, 1280, li.IMG_FEATURES_CHANNEL // 4))
+    fn = jax.jit(lambda im, x: feature_gather(im, x))
+    res['feature_gather_16384'] = slope_time(fn, [full_img, xy], it) * 1e3
+
+    p_feats = jax.random.normal(key, (1, 16384, li.IMG_FEATURES_CHANNEL))
+    i_feats = jax.random.normal(key, (1, 16384,
+                                      li.IMG_FEATURES_CHANNEL // 4))
+    af = AttentionFusion(point_channels=li.IMG_FEATURES_CHANNEL,
+                         out_channels=li.IMG_FEATURES_CHANNEL)
+    avars = jax.jit(lambda k: af.init(k, p_feats, i_feats,
+                                      train=False))(jax.random.PRNGKey(6))
+    fn = jax.jit(lambda v, a, b: af.apply(v, a, b, train=False))
+    res['final_fusion_16384'] = slope_time(fn, [avars, p_feats, i_feats],
+                                           it) * 1e3
+
+    # ---- proposal layer alone (decode 16384 bins + two-zone NMS) ----
+    from jmodt_tpu.models.proposal import pool_rois_for_eval, proposal_layer
+    reg_ch = 76 if cfg.RPN.LOC_XZ_FINE else 52
+    rpn_scores = jax.random.normal(key, (1, 16384))
+    rpn_reg = jax.random.normal(key, (1, 16384, reg_ch))
+    fn = jax.jit(lambda s, r, x: proposal_layer(cfg, 'EVAL', s, r, x))
+    res['proposal_layer'] = slope_time(fn, [rpn_scores, rpn_reg, pts],
+                                       it) * 1e3
+
+    # ---- RCNN forward alone (100 rois through the 3-level SA stack) ----
+    from jmodt_tpu.models.rcnn import RCNN
+    rc_ch = 3 + 1 + (1 if cfg.RCNN.USE_DEPTH else 0) + 128
+    rcnn_in = jax.random.normal(key, (100, cfg.RCNN.NUM_POINTS, rc_ch))
+    rcnn = RCNN(cfg)
+    rvars = jax.jit(lambda k: rcnn.init(k, rcnn_in, gt_tids=None,
+                                        train=False))(jax.random.PRNGKey(2))
+    fn = jax.jit(lambda v, x: rcnn.apply(v, x, gt_tids=None, train=False))
+    res['rcnn_forward_100'] = slope_time(fn, [rvars, rcnn_in], it) * 1e3
+
+    # ---- RCNN sa_0 attribution: gather vs grouped-MLP vs ball query ----
+    # (sa_0 carries ~70% of the RCNN's analytic FLOPs; these split its
+    # wall-clock between the ball query, the neighbor gather, and the
+    # 131->128x3 grouped MLP to target the fused-kernel work)
+    from jmodt_tpu.models.layers import PointwiseMLP
+    from jmodt_tpu.ops.grouping import group_points_fl
+    rxyz = jax.random.normal(key, (100, 512, 3)) * 2.0
+    rfeat = jax.random.normal(key, (100, 512, 128))
+    rnew = rxyz[:, :128]
+    fn = jax.jit(lambda a, b: ball_query(0.2, 64, a, b))
+    res['rcnn_ballq_0'] = slope_time(fn, [rxyz, rnew], it) * 1e3
+    nbr = jax.jit(lambda a, b: ball_query(0.2, 64, a, b))(rxyz, rnew)
+    fn = jax.jit(lambda f, i: group_points_fl(f, i))
+    res['rcnn_gather_0'] = slope_time(fn, [rfeat, nbr], it) * 1e3
+    grouped = jax.random.normal(key, (100, 128, 64, 131))
+    pm = PointwiseMLP((128, 128, 128), use_bn=True)
+    pv = jax.jit(lambda k: pm.init(k, grouped, False))(jax.random.PRNGKey(3))
+    fn = jax.jit(lambda v, g: jnp.max(pm.apply(v, g, False), axis=2))
+    res['rcnn_grouped_mlp_0'] = slope_time(fn, [pv, grouped], it) * 1e3
+
+    # ---- fused eval SA A/B (cfg.RCNN.FUSED_SA): sa_0 level + full RCNN ----
+    from jmodt_tpu.ops.fused_sa import fused_sa_eval
+    sa0w = [(jax.random.normal(jax.random.PRNGKey(10 + i), shp) * 0.2,
+             jax.random.normal(jax.random.PRNGKey(20 + i), (shp[1],)) * 0.1)
+            for i, shp in enumerate([(131, 128), (128, 128), (128, 128)])]
+    fn = jax.jit(lambda a, f, c, i: fused_sa_eval(a, f, c, i, sa0w,
+                                                  use_pallas=True))
+    res['rcnn_sa0_fused_pallas'] = slope_time(
+        fn, [rxyz, rfeat, rnew, nbr], it) * 1e3
+    fn = jax.jit(lambda a, f, c, i: fused_sa_eval(a, f, c, i, sa0w,
+                                                  use_pallas=False))
+    res['rcnn_sa0_fused_xla'] = slope_time(
+        fn, [rxyz, rfeat, rnew, nbr], it) * 1e3
+    rcnn_f = RCNN(dataclasses.replace(
+        cfg, RCNN=dataclasses.replace(cfg.RCNN, FUSED_SA=True)))
+    fn = jax.jit(lambda v, x: rcnn_f.apply(v, x, gt_tids=None, train=False))
+    res['rcnn_forward_100_fused'] = slope_time(fn, [rvars, rcnn_in], it) * 1e3
+
+    # ---- eval pooling (roipool + canonical rotate) ----
+    seg = jax.random.uniform(key, (1, 16384))
+    depth = jnp.linalg.norm(pts, axis=2)
+    feats128 = jax.random.normal(key, (1, 16384, 128))
+    fn = jax.jit(lambda f, r: pool_rois_for_eval(cfg, pts, f, seg, depth, r))
+    res['pool_rois_eval_100'] = slope_time(fn, [feats128, rois100], it) * 1e3
 
     # ---- full detection step ----
     det = make_detection_step(cfg, model)
