@@ -140,7 +140,7 @@ def proposal_layer(cfg: Config, mode: str, rpn_scores: jnp.ndarray,
                                pre_n=mc.RPN_PRE_NMS_TOP_N,
                                post_n=mc.RPN_POST_NMS_TOP_N,
                                thresh=mc.RPN_NMS_THRESH, rotated=True)
-    boxes, sc, mask = jax.lax.map(lambda a: fn(a[0], a[1]), (rpn_scores, props))
+    boxes, sc, mask = jax.vmap(fn)(rpn_scores, props)
     return Proposals(boxes, sc, mask)
 
 
@@ -365,13 +365,13 @@ def proposal_target_layer(cfg: Config, key, rpn_xyz, rpn_features, seg_mask,
     sampled_pts = sampled_pts - roi_center[:, :, None, :]
     gt_ct = gt_of.at[..., 0:3].add(-roi_center).at[..., 6].add(-roi_ry)
 
-    def canon(args):
-        pts, g, angles, ry = args
+    def canon(pts, g, angles, ry):
         pts = rotate_points_along_y(pts, angles)
         g = rotate_points_along_y(g[:, None, :], ry)[:, 0]
         return pts, g
 
-    sampled_pts, gt_ct = jax.lax.map(canon, (sampled_pts, gt_ct, rois[..., 6], roi_ry))
+    sampled_pts, gt_ct = jax.vmap(canon)(sampled_pts, gt_ct, rois[..., 6],
+                                         roi_ry)
 
     valid = empty_flag == 0
     reg_valid_mask = ((roi_iou > rc.REG_FG_THRESH) & valid).astype(jnp.int32)
@@ -413,10 +413,6 @@ def pool_rois_for_eval(cfg: Config, rpn_xyz, rpn_features, seg_mask,
                           rc.POOL_EXTRA_WIDTH, sampled_pt_num=rc.NUM_POINTS)
     centered = pooled[..., 0:3] - roi_boxes3d[:, :, None, 0:3]
 
-    def canon(args):
-        pts, angles = args
-        return rotate_points_along_y(pts, angles)
-
-    centered = jax.lax.map(canon, (centered, roi_boxes3d[..., 6]))
+    centered = jax.vmap(rotate_points_along_y)(centered, roi_boxes3d[..., 6])
     pooled = jnp.concatenate([centered, pooled[..., 3:]], axis=-1)
     return pooled.reshape(-1, rc.NUM_POINTS, pooled.shape[-1])

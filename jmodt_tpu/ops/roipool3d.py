@@ -59,4 +59,7 @@ def roipool3d(pts: jnp.ndarray, pts_feature: jnp.ndarray, boxes3d: jnp.ndarray,
         pooled = jnp.where(empty[:, None, None], 0.0, pooled)
         return pooled, empty.astype(jnp.int32)
 
-    return jax.lax.map(per_batch, (pts, pts_feature, boxes3d))
+    # vmap, not lax.map: frames are independent and the body is fully
+    # batched, so sequential per-frame iteration would only add latency
+    # (at train batch 8 the mask/top_k work is 8x parallel this way)
+    return jax.vmap(per_batch)((pts, pts_feature, boxes3d))
