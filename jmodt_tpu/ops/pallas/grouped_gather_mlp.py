@@ -55,7 +55,7 @@ def _kernel(f1_ref, idx_ref, cxw_ref, b1_ref, *rest, tmi: int, n: int):
                   == idx_sub[:, :, None]).astype(jnp.float32)
         g = jnp.dot(onehot.reshape(tmi * s, n), f1_ref[0],
                     preferred_element_type=jnp.float32)          # (TMI*S, C1)
-        h = g + b1_ref[0][None, :]
+        h = g + b1_ref[:]                                        # (1, C1) bc
         h = (h.reshape(tmi, s, -1)
              - cxw_ref[0, ti * tmi:(ti + 1) * tmi, :][:, None, :])
         h = jnp.maximum(h, 0.0).reshape(tmi * s, -1)
@@ -63,7 +63,7 @@ def _kernel(f1_ref, idx_ref, cxw_ref, b1_ref, *rest, tmi: int, n: int):
             w_ref, b_ref = layer_refs[li], layer_refs[li + 1]
             h = jnp.maximum(
                 jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
-                + b_ref[0][None, :], 0.0)
+                + b_ref[:], 0.0)
         out_ref[0, ti * tmi:(ti + 1) * tmi, :] = jnp.max(
             h.reshape(tmi, s, -1), axis=1)
 

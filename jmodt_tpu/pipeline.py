@@ -67,7 +67,8 @@ def make_joint_step(cfg: Config, model: PointRCNN, link_apply: Callable,
 def make_batched_joint_step(cfg: Config, model: PointRCNN,
                             link_apply: Callable, track_k: int = 16,
                             max_tracks: int = 64,
-                            det_score_thresh: float = 0.85, **tracker_kw):
+                            det_score_thresh: float = 0.85,
+                            mesh=None, **tracker_kw):
     """S independent streams advance in LOCKSTEP through one program:
     batched detection + the vmapped tracker step.  This is the
     fused-throughput analog of tools/eval.py --batch_seqs (which batches
@@ -86,12 +87,18 @@ def make_batched_joint_step(cfg: Config, model: PointRCNN,
 
     Build `states` with `init_batched_state(S, max_tracks, feat_dim)`;
     packed rows are [tid, x, y, z, h, w, l, ry, score, emit] per stream.
+
+    `mesh`: optional 1-D `jax.sharding.Mesh` — streams are independent, so
+    the step shards perfectly over the mesh's first axis (S must divide by
+    its size): inputs/states split on axis 0, params replicate, and GSPMD
+    inserts no collectives.  This is the multi-chip offline-eval /
+    multi-camera serving shape: each chip carries S/n_dev sequences
+    end-to-end (detection + tracker state) with zero cross-chip traffic.
     """
     det_step = make_detection_step(cfg, model, jit=False)
     trk_step = make_device_tracker_step(link_apply, jit=False, **tracker_kw)
     btrk = jax.vmap(trk_step, in_axes=(0, 0, 0, 0, 0, 0, None))
 
-    @jax.jit
     def joint(variables, link_params, states: TrackerState, frame_ids,
               pts, imgs, xys):
         det = det_step(variables, pts, imgs, xys)
@@ -111,7 +118,15 @@ def make_batched_joint_step(cfg: Config, model: PointRCNN,
             out['emit'].astype(jnp.float32)[..., None]], axis=-1)
         return states, packed
 
-    return joint
+    if mesh is None:
+        return jax.jit(joint)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = mesh.axis_names[0]
+    strm = NamedSharding(mesh, P(axis))   # leading stream axis split
+    repl = NamedSharding(mesh, P())
+    return jax.jit(joint,
+                   in_shardings=(repl, repl, strm, strm, strm, strm, strm),
+                   out_shardings=(strm, strm))
 
 
 def make_scan_step(cfg: Config, model: PointRCNN, link_apply: Callable,

@@ -131,3 +131,37 @@ def test_batched_joint_matches_independent(setup):
         for s in range(2):
             np.testing.assert_allclose(arr[s], serial[s][i],
                                        rtol=1e-4, atol=1e-4)
+
+
+def test_batched_joint_sharded_matches_unsharded(setup):
+    """mesh-sharded lockstep streams == unsharded batched step: streams are
+    independent, so splitting S over a 4-device mesh must be a pure layout
+    change (params replicated, zero collectives)."""
+    import jax.numpy as jnp
+    from jmodt_tpu.parallel import make_mesh
+    from jmodt_tpu.pipeline import make_batched_joint_step
+    from jmodt_tpu.tracking.device_tracker import init_batched_state
+    cfg, model, variables, head, link_p, feat_dim, frames = setup
+    kw = dict(track_k=8, det_score_thresh=0.0, max_tracks=16)
+    bj = make_batched_joint_step(cfg, model, head.apply, **kw)
+    sj = make_batched_joint_step(cfg, model, head.apply,
+                                 mesh=make_mesh(jax.devices()[:4]), **kw)
+
+    s_count = 4
+    st_ref = init_batched_state(s_count, 16, feat_dim)
+    st_shd = init_batched_state(s_count, 16, feat_dim)
+    for i in range(3):
+        pts = np.concatenate([frames[(i + s) % 6]['pts_input']
+                              for s in range(s_count)])
+        img = np.concatenate([frames[(i + s) % 6]['img']
+                              for s in range(s_count)])
+        xy = np.concatenate([frames[(i + s) % 6]['pts_xy']
+                             for s in range(s_count)])
+        fids = np.full((s_count,), i + 1, np.int32)
+        st_ref, p_ref = bj(variables, link_p, st_ref, fids, pts, img, xy)
+        st_shd, p_shd = sj(variables, link_p, st_shd, fids, pts, img, xy)
+        np.testing.assert_allclose(np.asarray(p_shd), np.asarray(p_ref),
+                                   rtol=1e-4, atol=1e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
+        st_shd, st_ref)
