@@ -83,3 +83,72 @@ def farthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
         interpret=interpret,
     )
     return jax.vmap(lambda xa, ya, za: call(xa, ya, za)[0])(x, y, z)
+
+
+# --------------------------------------------------------------------------
+# Batched variant: many small clouds (the RCNN RoI shape, e.g. 100-512 RoIs
+# of 512 points each).  The single-cloud kernel above serializes over batch
+# rows (one grid program per cloud), and the XLA scan pays ~15 us of fused-op
+# latency per step; here one program holds a (TB, N) row-tile of EVERY
+# cloud's min-distance state in VMEM and runs the npoint steps internally,
+# each step a few VPU passes vectorized over all TB clouds at once.
+# --------------------------------------------------------------------------
+
+
+def _fps_batched_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, *, npoint):
+    """x/y/z_ref, mind_ref: (TB, N); out_ref: (TB, npoint) int32."""
+    tb, n = x_ref.shape
+    mind_ref[:] = jnp.full((tb, n), 1e10, jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, n), 1)
+    out_ref[:, 0:1] = jnp.zeros((tb, 1), jnp.int32)
+
+    def body(t, last):  # last: (TB, 1) int32 previously selected per cloud
+        sel = col == last
+        px = jnp.sum(jnp.where(sel, x_ref[:], 0.0), axis=1, keepdims=True)
+        py = jnp.sum(jnp.where(sel, y_ref[:], 0.0), axis=1, keepdims=True)
+        pz = jnp.sum(jnp.where(sel, z_ref[:], 0.0), axis=1, keepdims=True)
+        dx = x_ref[:] - px
+        dy = y_ref[:] - py
+        dz = z_ref[:] - pz
+        d = dx * dx + dy * dy + dz * dz
+        mind = jnp.minimum(mind_ref[:], d)
+        mind_ref[:] = mind
+        # per-row argmax, first-index tie-breaking (matches jnp.argmax)
+        m = jnp.max(mind, axis=1, keepdims=True)
+        nxt = jnp.min(jnp.where(mind == m, col, n), axis=1,
+                      keepdims=True).astype(jnp.int32)
+        out_ref[:, pl.ds(t, 1)] = nxt
+        return nxt
+
+    jax.lax.fori_loop(1, npoint, body, jnp.zeros((tb, 1), jnp.int32))
+
+
+_TILE_B = 128
+
+
+@functools.partial(jax.jit, static_argnames=('npoint', 'interpret'))
+def farthest_point_sample_batched_pallas(xyz: jnp.ndarray, npoint: int,
+                                         interpret: bool = False
+                                         ) -> jnp.ndarray:
+    """(B, N, 3) float32 -> (B, npoint) int32 for LARGE B / small N.
+    idx[:, 0] == 0 (CUDA fixed seed).  B is padded to the 128-row tile."""
+    b, n, _ = xyz.shape
+    tb = min(_TILE_B, b + ((-b) % 8))   # row-tile: multiple of 8 sublanes
+    pad = (-b) % tb
+    xyz_p = jnp.pad(xyz, ((0, pad), (0, 0), (0, 0)))
+    bp = b + pad
+
+    x = xyz_p[..., 0]
+    y = xyz_p[..., 1]
+    z = xyz_p[..., 2]
+    kernel = functools.partial(_fps_batched_kernel, npoint=npoint)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // tb,),
+        in_specs=[pl.BlockSpec((tb, n), lambda i: (i, 0))] * 3,
+        out_specs=pl.BlockSpec((tb, npoint), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((tb, n), jnp.float32)],
+        interpret=interpret,
+    )(x, y, z)
+    return out[:b]

@@ -40,3 +40,16 @@ def test_pallas_three_nn_matches_xla():
         assert (np.asarray(i_ref) == np.asarray(i_p)).all()
         np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_p),
                                    atol=1e-4)
+
+
+@pytest.mark.parametrize('b,n,npoint', [(100, 512, 128), (20, 256, 64),
+                                        (3, 128, 32)])
+def test_batched_matches_xla_scan(rng, b, n, npoint):
+    """Row-tiled batched FPS kernel (interpret) == the vmapped XLA scan,
+    including non-multiple-of-8 batch sizes (row padding)."""
+    from jmodt_tpu.ops.pallas.fps import farthest_point_sample_batched_pallas
+    xyz = rng.randn(b, n, 3).astype(np.float32) * 5
+    want = np.asarray(farthest_point_sample(xyz, npoint))
+    got = np.asarray(farthest_point_sample_batched_pallas(
+        xyz, npoint, interpret=True))
+    np.testing.assert_array_equal(got, want)
