@@ -51,21 +51,15 @@ def main():
         import dataclasses
         cfg = dataclasses.replace(
             cfg, RPN=dataclasses.replace(cfg.RPN, USE_PALLAS_FPS=True))
-    model = PointRCNN(cfg, mode='EVAL')
     frames = [make_eval_frame(seed=s, cfg=cfg, raw_u8=True)
               for s in range(16)]
     f0 = frames[0]
-    variables = jax.jit(lambda k: model.init(
-        k, f0['pts_input'],
-        (f0['img'].astype(np.float32) / 255.0 - 0.45) / 0.22,
-        f0['pts_xy'], train=False))(jax.random.PRNGKey(0))
-
     feat_dim = cfg.RCNN.SA_CONFIG.MLPS[-1][-1]
     head = CorrelationHead(cfg.REID.LINK_FC, use_bn=cfg.REID.USE_BN)
     link_p = head.init(jax.random.PRNGKey(1),
                        np.zeros((1, feat_dim), np.float32))
-    joint = make_joint_step(cfg, model, head.apply, det_score_thresh=0.2)
     state0 = init_state(64, feat_dim)
+    sync = jax.jit(lambda s: jnp.sum(s.mean) + jnp.sum(s.score))
 
     # compile + warm.  IMPORTANT measurement note: on this relay
     # `block_until_ready` ACKs WITHOUT waiting for execution (measured: a
@@ -74,10 +68,30 @@ def main():
     # fetching a value that depends on the full computation, so every
     # timing below ends with a scalar fetch and the per-frame number is the
     # SLOPE between two loop lengths — the constant fetch latency cancels.
-    st, packed = joint(variables, link_p, state0, jnp.asarray(1),
-                       f0['pts_input'], f0['img'], f0['pts_xy'])
-    sync = jax.jit(lambda s: jnp.sum(s.mean) + jnp.sum(s.score))
-    float(sync(st))
+    # The fused-SA program is tried first; if its compile fails on this
+    # backend the bench degrades to the plain path rather than reporting
+    # nothing (the JSON records which path ran).
+    def build(c):
+        m = PointRCNN(c, mode='EVAL')
+        v = jax.jit(lambda k: m.init(
+            k, f0['pts_input'],
+            (f0['img'].astype(np.float32) / 255.0 - 0.45) / 0.22,
+            f0['pts_xy'], train=False))(jax.random.PRNGKey(0))
+        j = make_joint_step(c, m, head.apply, det_score_thresh=0.2)
+        st, _ = j(v, link_p, state0, jnp.asarray(1),
+                  f0['pts_input'], f0['img'], f0['pts_xy'])
+        float(sync(st))
+        return m, v, j
+
+    try:
+        model, variables, joint = build(cfg)
+        fused_sa = cfg.RCNN.FUSED_SA
+    except Exception:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, RCNN=dataclasses.replace(cfg.RCNN, FUSED_SA=False))
+        model, variables, joint = build(cfg)
+        fused_sa = False
 
     def timed_pass(n_frames, dev_inputs=None):
         st = state0
@@ -225,6 +239,7 @@ def main():
         'flops_cost_analysis': flops_cost_analysis,
         'achieved_tflops': round(flops_analytic / compute_dt / 1e12, 2),
         'mfu': round(mfu, 4),
+        'fused_sa': bool(fused_sa),
     }))
 
 

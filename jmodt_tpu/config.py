@@ -129,11 +129,12 @@ class RCNNConfig:
     XYZ_UP_LAYER: Tuple[int, ...] = (128, 128)
     NUM_POINTS: int = 512
     SA_CONFIG: RCNNSAConfig = field(default_factory=RCNNSAConfig)
-    # eval-only fused gather->MLP->max SA path (ops/fused_sa.py; Pallas VMEM
-    # kernel on TPU).  No reference counterpart — bit-compatible math with
-    # the plain path up to float reassociation (BN fold + hoisted Dense).
-    # Default off until benchmarked on hardware; tests pin fused == plain.
-    FUSED_SA: bool = False
+    # fused gather->MLP->max SA path (ops/fused_sa.py; Pallas VMEM kernel
+    # on TPU for eval, XLA form for no-BN train).  No reference counterpart
+    # — bit-compatible math with the plain path up to float reassociation
+    # (BN fold + hoisted Dense); tests pin fused == plain (fwd + grads).
+    # Measured on v5e: RCNN forward 19.0 -> 2.5 ms at 100 RoIs.
+    FUSED_SA: bool = True
     CLS_FC: Tuple[int, ...] = (512, 512)
     REG_FC: Tuple[int, ...] = (512, 512)
     LOSS_CLS: str = 'BinaryCrossEntropy'

@@ -58,17 +58,19 @@ class SAModuleMSG(nn.Module):
 
         # Fused fast path: BN-folded gather->MLP->max (ops/fused_sa.py,
         # Pallas VMEM kernel on TPU).  Init runs the plain path below so the
-        # param tree is identical; applies only to the single-scale f32
-        # use_xyz levels (the RCNN head — where B=num_rois makes the unfused
+        # param tree is identical; applies only to the single-scale use_xyz
+        # levels (the RCNN head — where B=num_rois makes the unfused
         # grouped intermediates cost ~30x their FLOPs in HBM traffic).
         # Train is eligible only without BN (no batch statistics to update);
         # there the XLA form runs — same math, differentiable by autodiff —
-        # since the Pallas kernel defines no VJP.
+        # since the Pallas kernel defines no VJP.  The fused path always
+        # computes f32 even under cfg.DTYPE=bfloat16: its win is HBM
+        # traffic, not dtype (bf16 measured a wash end-to-end, CLAUDE.md),
+        # and the one-hot MXU gather must stay exact.
         if (self.fused_eval and not self.is_initializing()
                 and (not train or not self.use_bn)
                 and self.npoint is not None and features is not None
-                and self.use_xyz and len(self.mlps) == 1
-                and self.dtype in (None, jnp.float32)):
+                and self.use_xyz and len(self.mlps) == 1):
             nbr = ball_query(self.radii[0], self.nsamples[0], xyz, new_xyz)
             folded = fold_pointwise_mlp(
                 self.variables['params']['mlp_0'],

@@ -68,9 +68,11 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
                   q8, pts8, (((2,), (2,)), ((0,), (0,))),
                   preferred_element_type=jnp.float32))   # (B, chunk, N)
         key = jnp.where(d2 < r2, col, n)
-        # nsample smallest keys = first hits in point order
-        neg_top, _ = jax.lax.top_k(-key, nsample)
-        idx = -neg_top  # ascending
+        # nsample smallest keys = first hits in point order.  top_k runs on
+        # a flattened 2-D view: 3-D batched top_k hits a pathologically
+        # slow path on TPU (measured 53 ms vs 0.7 ms at the level-0 shape)
+        neg_top, _ = jax.lax.top_k(-key.reshape(-1, n), nsample)
+        idx = (-neg_top).reshape(key.shape[:-1] + (nsample,))  # ascending
         first = idx[..., 0:1]
         miss = idx >= n
         # pad misses with the first hit; all-miss rows fall back to 0

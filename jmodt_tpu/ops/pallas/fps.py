@@ -100,7 +100,11 @@ def _fps_batched_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, *, npoint):
     tb, n = x_ref.shape
     mind_ref[:] = jnp.full((tb, n), 1e10, jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (tb, n), 1)
-    out_ref[:, 0:1] = jnp.zeros((tb, 1), jnp.int32)
+    # Mosaic cannot store to a dynamic single lane (out[:, t]); instead the
+    # whole (TB, npoint) block is rewritten each step with a lane-mask —
+    # a cheap VPU pass at npoint <= a few hundred lanes
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (tb, npoint), 1)
+    out_ref[:] = jnp.zeros((tb, npoint), jnp.int32)
 
     def body(t, last):  # last: (TB, 1) int32 previously selected per cloud
         sel = col == last
@@ -117,7 +121,7 @@ def _fps_batched_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, *, npoint):
         m = jnp.max(mind, axis=1, keepdims=True)
         nxt = jnp.min(jnp.where(mind == m, col, n), axis=1,
                       keepdims=True).astype(jnp.int32)
-        out_ref[:, pl.ds(t, 1)] = nxt
+        out_ref[:] = jnp.where(out_col == t, nxt, out_ref[:])
         return nxt
 
     jax.lax.fori_loop(1, npoint, body, jnp.zeros((tb, 1), jnp.int32))

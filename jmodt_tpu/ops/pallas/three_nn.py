@@ -5,7 +5,8 @@ distance matrix in HBM (256 MB at the finest FP level, 16384 x 4096) and
 runs `lax.top_k` over it.  Here each grid program computes one 128-query
 tile of distances directly in VMEM against the whole known set (M x 3
 coordinates: <=48 KB, loaded once per program) and reduces the 3 smallest
-via three masked min-passes — the distance tile never touches HBM.
+via three masked min-passes, each fully vectorized over the (128, M)
+distance tile — the tile never touches HBM and nothing sorts.
 
 Reference kernel: /root/reference/jmodt/ops/pointnet2/src/interpolate_gpu.cu:9-77
 (brute-force per-thread 3-NN with insertion updates).  Tie-breaking: the
@@ -27,43 +28,24 @@ _TILE = 128
 
 
 def _three_nn_kernel(ux_ref, uy_ref, uz_ref, kx_ref, ky_ref, kz_ref,
-                     dist_ref, idx_ref, *, m):
-    """One 128-query tile.  u*_ref: (1, 128) query coords; k*_ref: (rows,
-    128) known coords (m = rows * 128 logical entries, padded with +inf
+                     dist_ref, idx_ref, *, mp):
+    """One 128-query tile, vectorized over the whole tile.  u*_ref: (1,
+    128) query coords; k*_ref: (1, mp) known coords (padded with +inf
     sentinels by the caller); dist_ref/idx_ref: (3, 128) outputs."""
-    rows = kx_ref.shape[0]
-    flat_idx = (jax.lax.broadcasted_iota(jnp.int32, (rows, _TILE), 0)
-                * _TILE
-                + jax.lax.broadcasted_iota(jnp.int32, (rows, _TILE), 1))
+    dx = kx_ref[0, :][None, :] - ux_ref[0, :][:, None]   # (128, mp)
+    dy = ky_ref[0, :][None, :] - uy_ref[0, :][:, None]
+    dz = kz_ref[0, :][None, :] - uz_ref[0, :][:, None]
+    d = dx * dx + dy * dy + dz * dz
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
 
-    def per_query(q, carry):
-        # distances from query q to all known points: (rows, 128) in VMEM
-        qx = ux_ref[0, q]
-        qy = uy_ref[0, q]
-        qz = uz_ref[0, q]
-        dx = kx_ref[:] - qx
-        dy = ky_ref[:] - qy
-        dz = kz_ref[:] - qz
-        d = dx * dx + dy * dy + dz * dz
-
-        def take_min(d_cur):
-            mn = jnp.min(d_cur)
-            j = jnp.min(jnp.where(d_cur == mn, flat_idx, m)).astype(
-                jnp.int32)
-            return mn, j, jnp.where(flat_idx == j, jnp.inf, d_cur)
-
-        d0, j0, d = take_min(d)
-        d1, j1, d = take_min(d)
-        d2, j2, _ = take_min(d)
-        dist_ref[0, q] = d0
-        dist_ref[1, q] = d1
-        dist_ref[2, q] = d2
-        idx_ref[0, q] = j0
-        idx_ref[1, q] = j1
-        idx_ref[2, q] = j2
-        return carry
-
-    jax.lax.fori_loop(0, _TILE, per_query, 0)
+    for s in range(3):
+        mn = jnp.min(d, axis=1)                           # (128,)
+        j = jnp.min(jnp.where(d == mn[:, None], col, mp),
+                    axis=1).astype(jnp.int32)             # first argmin
+        dist_ref[s, :] = mn
+        idx_ref[s, :] = j
+        if s < 2:
+            d = jnp.where(col == j[:, None], jnp.inf, d)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -78,26 +60,22 @@ def three_nn_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
     pad = (-m) % _TILE
     known_p = jnp.pad(known, ((0, 0), (0, pad), (0, 0)),
                       constant_values=jnp.inf)
-    rows = (m + pad) // _TILE
+    mp = m + pad
 
-    kx = known_p[..., 0].reshape(b, rows, _TILE)
-    ky = known_p[..., 1].reshape(b, rows, _TILE)
-    kz = known_p[..., 2].reshape(b, rows, _TILE)
+    kx = known_p[..., 0].reshape(b, 1, mp)
+    ky = known_p[..., 1].reshape(b, 1, mp)
+    kz = known_p[..., 2].reshape(b, 1, mp)
     ux = unknown[..., 0].reshape(b, n // _TILE, 1, _TILE)
     uy = unknown[..., 1].reshape(b, n // _TILE, 1, _TILE)
     uz = unknown[..., 2].reshape(b, n // _TILE, 1, _TILE)
 
-    kernel = functools.partial(_three_nn_kernel, m=m + pad)
+    kernel = functools.partial(_three_nn_kernel, mp=mp)
     call = pl.pallas_call(
         kernel,
         grid=(n // _TILE,),
-        # queries + outputs in SMEM: the kernel reads/writes one scalar per
-        # dynamic index q, which VMEM refs do not support (cf. pallas/fps.py)
-        in_specs=[pl.BlockSpec((None, 1, _TILE), lambda t: (t, 0, 0),
-                               memory_space=pltpu.SMEM)] * 3
+        in_specs=[pl.BlockSpec((None, 1, _TILE), lambda t: (t, 0, 0))] * 3
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec((None, 3, _TILE), lambda t: (t, 0, 0),
-                                memory_space=pltpu.SMEM)] * 2,
+        out_specs=[pl.BlockSpec((None, 3, _TILE), lambda t: (t, 0, 0))] * 2,
         out_shape=[
             jax.ShapeDtypeStruct((n // _TILE, 3, _TILE), jnp.float32),
             jax.ShapeDtypeStruct((n // _TILE, 3, _TILE), jnp.int32),

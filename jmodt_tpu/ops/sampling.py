@@ -33,19 +33,26 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
     :return: (B, npoint) int32 indices. idx[:, 0] == 0, matching the CUDA
         kernel's fixed seed (sampling_gpu.cu: `old = 0; idxs[0] = old`).
     """
-    if use_pallas and jax.default_backend() == 'tpu' \
-            and xyz.shape[1] % 128 == 0 and xyz.shape[1] >= 2048:
-        # measured round 3 (fetch-synced): 1.8 ms vs 28.8 ms for the XLA
-        # scan at (16384 -> 4096) — the scan's 4096 sequential steps are
-        # latency-bound, the Pallas kernel keeps min-dist in VMEM.  Only
-        # for LARGE clouds: the kernel runs one grid program per batch row
-        # and TPU grid steps are sequential, so at RCNN shapes
-        # (100 x 512 -> 128) it SERIALIZES over rois and loses to the
-        # vmapped scan (5.7 ms vs 1.9 ms).  Non-TPU backends (the CPU test
-        # suite) also fall through to the scan.
-        from jmodt_tpu.ops.pallas.fps import farthest_point_sample_pallas
-        return farthest_point_sample_pallas(xyz, npoint)
-    n = xyz.shape[1]
+    b, n = xyz.shape[0], xyz.shape[1]
+    if use_pallas and jax.default_backend() == 'tpu' and n % 128 == 0:
+        if n >= 2048:
+            # measured round 3 (fetch-synced): 1.8 ms vs 28.8 ms for the
+            # XLA scan at (16384 -> 4096) — the scan's sequential steps are
+            # latency-bound, the Pallas kernel keeps min-dist in VMEM.
+            # Only for LARGE clouds: this kernel runs one grid program per
+            # batch row and TPU grid steps are sequential, so at RCNN
+            # shapes (100 x 512 -> 128) it SERIALIZES over rois and loses
+            # to the vmapped scan (5.7 ms vs 1.9 ms).
+            from jmodt_tpu.ops.pallas.fps import farthest_point_sample_pallas
+            return farthest_point_sample_pallas(xyz, npoint)
+        if b >= 16 and n <= 2048:
+            # many small clouds (RCNN RoIs): one program row-tiles ALL
+            # clouds' min-dist state in VMEM and steps them in lockstep —
+            # the scan pays ~15 us of fused-op latency per sequential step
+            from jmodt_tpu.ops.pallas.fps import (
+                farthest_point_sample_batched_pallas)
+            return farthest_point_sample_batched_pallas(xyz, npoint)
+    # Non-TPU backends (the CPU test suite) use the XLA scan
 
     def sample_one(pts):  # (N, 3)
         def body(carry, _):

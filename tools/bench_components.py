@@ -97,12 +97,17 @@ def main():
     # mid-level Pallas FPS below the n>=2048 dispatch threshold (B=1):
     # direct kernel call to decide whether the threshold should drop
     if jax.default_backend() == 'tpu':
-        from jmodt_tpu.ops.pallas.fps import farthest_point_sample_pallas
+        from jmodt_tpu.ops.pallas.fps import (
+            farthest_point_sample_batched_pallas, farthest_point_sample_pallas)
         for n, m in [(1024, 256), (256, 64)]:
             cloud = jax.random.normal(key, (1, n, 3)) * 30.0
             fn = jax.jit(lambda x, _m=m: farthest_point_sample_pallas(
                 x, _m))
             res[f'fps_pallas_{n}_{m}'] = slope_time(fn, [cloud], it) * 1e3
+        # batched row-tiled kernel at the RCNN RoI shape
+        cloud = jax.random.normal(key, (100, 512, 3))
+        fn = jax.jit(lambda x: farthest_point_sample_batched_pallas(x, 128))
+        res['fps_roi_pallas_100x512_128'] = slope_time(fn, [cloud], it) * 1e3
 
     # ---- ball query level 0 (the largest pairwise matrix) ----
     cloud = jax.random.normal(key, (1, 16384, 3)) * 30.0

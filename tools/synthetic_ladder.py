@@ -75,6 +75,17 @@ def main():
     ap.add_argument('--stage1_ckpt', type=str, default=None,
                     help='reuse an existing stage-1 (lidar-only) '
                          'checkpoint stem instead of training stage 1')
+    ap.add_argument('--resume1', type=str, default=None,
+                    help='checkpoint stem to CONTINUE stage 1 from '
+                         '(restores optimizer state + epoch; epochs1 and '
+                         'TMAX stay the full-run values)')
+    ap.add_argument('--eval_ckpt', type=str, default=None,
+                    help='skip all training and run the final eval block '
+                         'on this checkpoint stem')
+    ap.add_argument('--eval_lidar_only', action='store_true',
+                    help='with --eval_ckpt: evaluate under '
+                         'LI_FUSION.ENABLED=False (stage-1 checkpoints '
+                         'have no fusion parameters)')
     ap.add_argument('--set', dest='set_kv', nargs='*', default=[],
                     help='extra cfg overrides forwarded to every training '
                          'stage, e.g. --set TRAIN.GRAD_NORM_CLIP 10 '
@@ -139,7 +150,9 @@ def main():
     # cosine T_max of 50 EPOCHS (config.py:185) anneals the lr to ~0 after
     # 50 epochs, which starves any longer synthetic run
     # ---- stage 1: lidar-only from scratch ----
-    if args.stage1_ckpt:
+    if args.eval_ckpt:
+        ck1 = ck2 = ck3 = args.eval_ckpt
+    elif args.stage1_ckpt:
         ck1 = args.stage1_ckpt
     else:
         out1 = os.path.join(root, 'stage1')
@@ -147,25 +160,27 @@ def main():
             '--output_dir', out1, '--finetune',
             '--epochs', str(args.epochs1),
             '--set', 'LI_FUSION.ENABLED', 'False', 'TRAIN.LR',
-            str(args.lr), 'TRAIN.TMAX', str(args.epochs1)] + args.set_kv)
+            str(args.lr), 'TRAIN.TMAX', str(args.epochs1)] + args.set_kv
+            + (['--ckpt', args.resume1] if args.resume1 else []))
         ck1 = latest_ckpt(os.path.join(out1, 'ckpt'))
 
-    # ---- stage 2: fusion, partial-restore bootstrap ----
-    out2 = os.path.join(root, 'stage2')
-    run_train(common + [
-        '--output_dir', out2, '--finetune', '--ckpt', ck1,
-        '--epochs', str(args.epochs2),
-        '--set', 'TRAIN.LR', str(args.lr / 2),
-        'TRAIN.TMAX', str(args.epochs2)] + args.set_kv)
-    ck2 = latest_ckpt(os.path.join(out2, 'ckpt'))
+    if not args.eval_ckpt:
+        # ---- stage 2: fusion, partial-restore bootstrap ----
+        out2 = os.path.join(root, 'stage2')
+        run_train(common + [
+            '--output_dir', out2, '--finetune', '--ckpt', ck1,
+            '--epochs', str(args.epochs2),
+            '--set', 'TRAIN.LR', str(args.lr / 2),
+            'TRAIN.TMAX', str(args.epochs2)] + args.set_kv)
+        ck2 = latest_ckpt(os.path.join(out2, 'ckpt'))
 
-    # ---- stage 3: finetune link/se only (default mode) ----
-    out3 = os.path.join(root, 'stage3')
-    run_train(common + [
-        '--output_dir', out3, '--ckpt', ck2,
-        '--epochs', str(args.epochs3),
-        '--set', 'TRAIN.TMAX', str(args.epochs3)] + args.set_kv)
-    ck3 = latest_ckpt(os.path.join(out3, 'ckpt'))
+        # ---- stage 3: finetune link/se only (default mode) ----
+        out3 = os.path.join(root, 'stage3')
+        run_train(common + [
+            '--output_dir', out3, '--ckpt', ck2,
+            '--epochs', str(args.epochs3),
+            '--set', 'TRAIN.TMAX', str(args.epochs3)] + args.set_kv)
+        ck3 = latest_ckpt(os.path.join(out3, 'ckpt'))
 
     # ---- eval: stage-1 AP + stage-2 MOT over the val sequences ----
     import importlib.util
@@ -178,6 +193,10 @@ def main():
     logger = logging.getLogger('ladder')
     logger.setLevel(logging.INFO)
     logger.addHandler(logging.StreamHandler())
+    if args.eval_lidar_only:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, LI_FUSION=dataclasses.replace(cfg.LI_FUSION, ENABLED=False))
     eargs = types.SimpleNamespace(
         data_root=data_root, det_output=os.path.join(root, 'det'),
         output_dir=os.path.join(root, 'mot'), ckpt=ck3, tag='ladder',
