@@ -70,9 +70,43 @@ def feature_gather(feature_map: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - av) + bot * av
 
 
+class NonOverlapDeconv(nn.Module):
+    """ConvTranspose with kernel == stride (the pyramid's only case),
+    expressed as one matmul + depth-to-space: every output pixel
+    (y*k+dy, x*k+dx) is a pure channel map of input pixel (y, x) through
+    the (dy, dx) kernel tap, so the whole op is
+    (B*H*W, C) @ (C, k*k*R) followed by a reshape — an MXU matmul instead
+    of the padded/dilated convolution XLA lowers conv_transpose to.
+    Parameter shapes match nn.ConvTranspose ((k, k, C, R) kernel, (R,)
+    bias); equality vs nn.ConvTranspose is test-pinned."""
+    features: int
+    kernel: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, r = self.kernel, self.features
+        b, h, w, c = x.shape
+        kern = self.param('kernel', nn.initializers.lecun_normal(),
+                          (k, k, c, r))
+        bias = self.param('bias', nn.initializers.zeros, (r,))
+        cdt = self.dtype or x.dtype
+        # lax.conv_transpose (transpose_kernel=False) applies the kernel
+        # spatially mirrored relative to the output-tap view; flip so the
+        # parameters stay bit-compatible with nn.ConvTranspose
+        wmat = jnp.transpose(kern[::-1, ::-1], (2, 0, 1, 3)).reshape(
+            c, k * k * r)
+        y = (x.reshape(b * h * w, c).astype(cdt) @ wmat.astype(cdt))
+        y = y.reshape(b, h, w, k, k, r)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(b, h * k, w * k, r)
+        return y + bias.astype(cdt)
+
+
 class ImagePyramidFusion(nn.Module):
     """DeConv each level back to full resolution, concat, 1x1 conv + BN + ReLU
-    (reference backbone.py:130-139, 187-196)."""
+    (reference backbone.py:130-139, 187-196).  The deconvs are
+    NonOverlapDeconv (kernel == stride in every config), a matmul
+    formulation of the same math."""
     reduce_channels: Sequence[int]
     kernels: Sequence[int]
     out_channels: int
@@ -82,9 +116,8 @@ class ImagePyramidFusion(nn.Module):
     def __call__(self, img_levels, train: bool = False):
         ups = []
         for i, feat in enumerate(img_levels):
-            k = self.kernels[i]
-            up = nn.ConvTranspose(self.reduce_channels[i], (k, k),
-                                  strides=(k, k), dtype=self.dtype)(feat)
+            up = NonOverlapDeconv(self.reduce_channels[i], self.kernels[i],
+                                  dtype=self.dtype)(feat)
             ups.append(up)
         x = jnp.concatenate(ups, axis=-1)
         x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)

@@ -81,7 +81,10 @@ def fused_sa_eval(xyz: jnp.ndarray, feats: jnp.ndarray,
     feats1 = catf @ w1                       # (B, N, C1) — pre-gather Dense
     cxw = new_xyz @ w1[:3]                   # (B, M, C1) center correction
     if use_pallas is None:
-        use_pallas = jax.default_backend() == 'tpu'
+        # auto: Pallas only at lane-sized clouds; sub-128-point levels
+        # (miniature test configs) take the XLA form of the same math
+        use_pallas = (jax.default_backend() == 'tpu'
+                      and xyz.shape[1] >= 128)
     if use_pallas:
         return grouped_gather_mlp_max(feats1, idx, cxw, b1, tuple(rest))
     # XLA fallback — same math, grouped intermediates in HBM

@@ -173,3 +173,19 @@ def test_decode_argmax_mode(rng):
                              avg_by_bin=False, ry_with_bin=False)
     assert out.shape == (8, 7)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_nonoverlap_deconv_matches_conv_transpose(rng):
+    """NonOverlapDeconv (matmul + depth-to-space) == nn.ConvTranspose with
+    the same parameters, for every pyramid kernel size."""
+    import flax.linen as fnn
+    from jmodt_tpu.models.image_backbone import NonOverlapDeconv
+    for k in (2, 4, 8, 16):
+        x = jnp.asarray(rng.randn(2, 6, 10, 8).astype(np.float32))
+        mine = NonOverlapDeconv(4, k)
+        mv = mine.init(jax.random.PRNGKey(k), x)
+        ref = fnn.ConvTranspose(4, (k, k), strides=(k, k))
+        a = mine.apply(mv, x)
+        b = ref.apply({'params': dict(mv['params'])}, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
