@@ -254,6 +254,36 @@ def test_heads_differential(ref_model, converted):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_export_roundtrip(ref_model, converted):
+    """export_model_state emits the reference's exact key set (strict
+    load_state_dict succeeds on the reference model) and
+    convert(export(tree)) round-trips bit-identically."""
+    from jmodt_tpu.utils.torch_import import (convert_model_state,
+                                              export_model_state)
+    import copy
+    sd = export_model_state(converted)
+    assert set(sd) == set(ref_model.state_dict())
+    res = copy.deepcopy(ref_model).load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+    tree2 = convert_model_state(sd)
+    a = dict(_flat_vals(converted))
+    b = dict(_flat_vals(tree2))
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=str(k))
+
+
+def _flat_vals(tree, pre=()):
+    for k in sorted(tree):
+        v = tree[k]
+        if isinstance(v, dict):
+            yield from _flat_vals(v, pre + (k,))
+        else:
+            yield pre + (k,), np.asarray(v)
+
+
 def test_pth_roundtrip_cli(ref_model, tmp_path):
     """A .pth written the reference way converts through the CLI into a
     loadable .ckpt."""

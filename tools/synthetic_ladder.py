@@ -156,12 +156,14 @@ def main():
         ck1 = args.stage1_ckpt
     else:
         out1 = os.path.join(root, 'stage1')
+        # NOTE --ckpt must precede --set: --set is argparse.REMAINDER
+        # (reference CLI semantics) and swallows everything after it
         run_train(common + [
             '--output_dir', out1, '--finetune',
-            '--epochs', str(args.epochs1),
-            '--set', 'LI_FUSION.ENABLED', 'False', 'TRAIN.LR',
-            str(args.lr), 'TRAIN.TMAX', str(args.epochs1)] + args.set_kv
-            + (['--ckpt', args.resume1] if args.resume1 else []))
+            '--epochs', str(args.epochs1)]
+            + (['--ckpt', args.resume1] if args.resume1 else [])
+            + ['--set', 'LI_FUSION.ENABLED', 'False', 'TRAIN.LR',
+               str(args.lr), 'TRAIN.TMAX', str(args.epochs1)] + args.set_kv)
         ck1 = latest_ckpt(os.path.join(out1, 'ckpt'))
 
     if not args.eval_ckpt:
