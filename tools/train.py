@@ -32,12 +32,22 @@ from jmodt_tpu.utils import enable_compilation_cache
 
 
 def create_logger(log_file):
-    log_format = '%(asctime)s  %(levelname)5s  %(message)s'
-    logging.basicConfig(level=logging.INFO, format=log_format,
-                        filename=log_file)
-    console = logging.StreamHandler()
-    console.setFormatter(logging.Formatter(log_format))
+    # explicit handlers, not basicConfig: in-process multi-stage runs
+    # (tools/synthetic_ladder.py) call main() repeatedly, and basicConfig
+    # is a no-op after the first call — stage 2's file handler would never
+    # attach and its lines would land in stage 1's train.log
+    fmt = logging.Formatter('%(asctime)s  %(levelname)5s  %(message)s')
     logger = logging.getLogger('train')
+    logger.setLevel(logging.INFO)
+    logger.propagate = False
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+        h.close()
+    fh = logging.FileHandler(log_file)
+    fh.setFormatter(fmt)
+    logger.addHandler(fh)
+    console = logging.StreamHandler()
+    console.setFormatter(fmt)
     logger.addHandler(console)
     return logger
 
