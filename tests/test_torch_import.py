@@ -284,6 +284,31 @@ def _flat_vals(tree, pre=()):
             yield pre + (k,), np.asarray(v)
 
 
+def test_lidar_only_subset(ref_model):
+    """A stage-1 (lidar-only) checkpoint lacks every image/fusion key;
+    conversion yields the matching partial tree and export round-trips it."""
+    from jmodt_tpu.utils.torch_import import (convert_model_state,
+                                              export_model_state)
+    img_prefixes = ('rpn.backbone_net.Img_Block', 'rpn.backbone_net.DeConv',
+                    'rpn.backbone_net.Fusion_Conv',
+                    'rpn.backbone_net.final_fusion_img_point',
+                    'rpn.backbone_net.image_fusion')
+    sd = {k: v for k, v in ref_model.state_dict().items()
+          if not k.startswith(img_prefixes)}
+    tree = convert_model_state(sd)
+    bb = tree['params']['rpn']['backbone']
+    assert 'img_block_0' not in bb and 'fusion_0' not in bb \
+        and 'img_pyramid' not in bb and 'final_fusion' not in bb
+    assert 'sa_0' in bb and 'fp_0' in bb
+    sd2 = export_model_state(tree)
+    assert set(sd2) == set(sd)
+    tree2 = convert_model_state(sd2)
+    a, b = dict(_flat_vals(tree)), dict(_flat_vals(tree2))
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=str(k))
+
+
 def test_pth_roundtrip_cli(ref_model, tmp_path):
     """A .pth written the reference way converts through the CLI into a
     loadable .ckpt."""
