@@ -34,6 +34,27 @@ BASELINE_S_PER_FRAME = 0.01  # reference README.md:21-26 (tracking only)
 N_FRAMES = 100
 
 
+def _hang_watchdog(seconds=int(os.environ.get('BENCH_WATCHDOG_S', 1200))):
+    """The TPU relay tunnel can die silently; jax.devices() then blocks
+    forever and the bench emits nothing.  Print a diagnostic JSON line and
+    hard-exit if the run exceeds `seconds` (first full compile is
+    ~80-120 s, the whole bench normally finishes in well under 10 min)."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            'metric': 'detect_plus_track_ms_per_frame', 'value': None,
+            'unit': 'ms', 'vs_baseline': None,
+            'error': f'bench exceeded {seconds}s — TPU relay tunnel '
+                     'unresponsive?'}), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     from jmodt_tpu.config import Config
     from jmodt_tpu.data.synthetic import make_eval_frame
@@ -43,6 +64,7 @@ def main():
     from jmodt_tpu.tracking.device_tracker import init_state
     from jmodt_tpu.utils import enable_compilation_cache
 
+    watchdog = _hang_watchdog()
     enable_compilation_cache()
     cfg = Config()
     if os.environ.get('BENCH_PALLAS_FPS'):
@@ -223,6 +245,7 @@ def main():
                        in str(kind).lower()), 197e12)
     mfu = (flops_analytic / compute_dt) / peak_flops
 
+    watchdog.cancel()
     print(json.dumps({
         'metric': 'detect_plus_track_ms_per_frame',
         'value': round(dt * 1e3, 3),
