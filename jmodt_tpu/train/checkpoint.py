@@ -149,7 +149,7 @@ def load_checkpoint(filename: str, variables_template: Any,
     :return: (variables, opt_state or None, it, epoch)
     """
     log = log or logger
-    if filename.endswith(('.ckpt', '.orbax')):
+    if filename.endswith(('.ckpt', '.orbax', '.pth')):
         path = filename
     else:
         # bare stem: when BOTH formats exist (e.g. a run switched to
@@ -172,6 +172,15 @@ def load_checkpoint(filename: str, variables_template: Any,
         if not os.path.isdir(path):
             raise FileNotFoundError(path)
         state = _orbax_restore(path)
+    elif path.endswith('.pth'):
+        # a reference torch checkpoint: convert in-memory so reference
+        # users can pass their .pth straight to --ckpt (the explicit
+        # tools/import_torch_weights.py CLI persists the conversion)
+        import torch
+
+        from jmodt_tpu.utils.torch_import import convert_torch_checkpoint
+        state = convert_torch_checkpoint(
+            torch.load(path, map_location='cpu', weights_only=False))
     else:
         if not os.path.isfile(path):
             raise FileNotFoundError(path)

@@ -309,6 +309,45 @@ def test_lidar_only_subset(ref_model):
         np.testing.assert_array_equal(a[k], b[k], err_msg=str(k))
 
 
+def test_load_checkpoint_accepts_pth(tmp_path):
+    """``--ckpt foo.pth`` works everywhere load_checkpoint does: a torch
+    checkpoint converts in-memory and restores bit-identically (validated
+    on the small config — the converter is width-agnostic)."""
+    import jax
+    import numpy as np
+
+    import __graft_entry__
+    from jmodt_tpu.models import PointRCNN
+    from jmodt_tpu.train.checkpoint import load_checkpoint
+    from jmodt_tpu.utils.torch_import import export_model_state
+
+    cfg = __graft_entry__._small_config()
+    model = PointRCNN(cfg, mode='EVAL')
+    rng = np.random.RandomState(0)
+    n = cfg.RPN.NUM_POINTS
+    pts = rng.randn(1, n, 3).astype(np.float32)
+    img = rng.rand(1, 32, 64, 3).astype(np.float32)
+    xy = (rng.rand(1, n, 2) * 2 - 1).astype(np.float32)
+    variables = jax.jit(lambda k: model.init(k, pts, img, xy, train=False))(
+        jax.random.PRNGKey(3))
+    variables = jax.tree_util.tree_map(np.asarray, jax.device_get(variables))
+
+    sd = export_model_state(variables)
+    pth = str(tmp_path / 'small.pth')
+    torch.save({'epoch': 3, 'it': 9, 'optimizer_state': None,
+                'model_state': {k: torch.from_numpy(np.ascontiguousarray(v))
+                                for k, v in sd.items()}}, pth)
+
+    template = jax.tree_util.tree_map(np.zeros_like, variables)
+    restored, _, it, epoch = load_checkpoint(pth, template)
+    assert (it, epoch) == (9, 3)
+    a = dict(_flat_vals(variables))
+    b = dict(_flat_vals(jax.tree_util.tree_map(np.asarray, restored)))
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=str(k))
+
+
 def test_pth_roundtrip_cli(ref_model, tmp_path):
     """A .pth written the reference way converts through the CLI into a
     loadable .ckpt."""
