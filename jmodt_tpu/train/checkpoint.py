@@ -139,6 +139,49 @@ def _unexpected_keys(template: Any, saved: Any, path: str = '') -> list:
     return out
 
 
+def read_checkpoint_state(filename: str,
+                          log: Optional[logging.Logger] = None) -> dict:
+    """Resolve + read a checkpoint into its raw state dict.
+
+    Accepts a `.ckpt` (msgpack), `.orbax` directory, reference torch
+    `.pth`, or a bare stem; stems probe all three and pick the newest by
+    mtime when several exist (a stale msgpack must not shadow a fresher
+    orbax after a run switched to --async_ckpt).
+    """
+    log = log or logger
+    if filename.endswith(('.ckpt', '.orbax', '.pth')):
+        path = filename
+    else:
+        cands = [p for p in (filename + '.ckpt', filename + '.pth')
+                 if os.path.isfile(p)]
+        if os.path.isdir(filename + '.orbax'):
+            cands.append(filename + '.orbax')
+        if not cands:
+            raise FileNotFoundError(
+                f'{filename}.ckpt / .orbax / .pth: no checkpoint found')
+        if len(cands) > 1:
+            cands.sort(key=os.path.getmtime, reverse=True)
+            log.warning('multiple checkpoints for stem %s; loading the '
+                        'newest: %s', filename, cands[0])
+        path = cands[0]
+    log.info("==> Loading from checkpoint '%s'", path)
+    if path.endswith('.orbax'):
+        if not os.path.isdir(path):
+            raise FileNotFoundError(path)
+        return _orbax_restore(path)
+    if path.endswith('.pth'):
+        # a reference torch checkpoint: convert in-memory so reference
+        # users can pass their .pth straight to --ckpt (the explicit
+        # tools/import_torch_weights.py CLI persists the conversion)
+        from jmodt_tpu.utils.torch_import import (convert_torch_checkpoint,
+                                                  load_reference_pth)
+        return convert_torch_checkpoint(load_reference_pth(path))
+    if not os.path.isfile(path):
+        raise FileNotFoundError(path)
+    with open(path, 'rb') as f:
+        return flax.serialization.msgpack_restore(f.read())
+
+
 def load_checkpoint(filename: str, variables_template: Any,
                     opt_state_template: Any = None,
                     log: Optional[logging.Logger] = None
@@ -149,43 +192,8 @@ def load_checkpoint(filename: str, variables_template: Any,
     :return: (variables, opt_state or None, it, epoch)
     """
     log = log or logger
-    if filename.endswith(('.ckpt', '.orbax', '.pth')):
-        path = filename
-    else:
-        # bare stem: when BOTH formats exist (e.g. a run switched to
-        # --async_ckpt in an existing ckpt_dir) pick the newer by mtime so
-        # a stale msgpack file can't shadow a fresher orbax directory
-        cands = []
-        if os.path.isfile(filename + '.ckpt'):
-            cands.append(filename + '.ckpt')
-        if os.path.isdir(filename + '.orbax'):
-            cands.append(filename + '.orbax')
-        if not cands:
-            raise FileNotFoundError(filename + '.ckpt')
-        if len(cands) == 2:
-            cands.sort(key=os.path.getmtime, reverse=True)
-            log.warning('both %s and %s exist; loading the newer %s',
-                        filename + '.ckpt', filename + '.orbax', cands[0])
-        path = cands[0]
-    log.info("==> Loading from checkpoint '%s'", path)
-    if path.endswith('.orbax'):
-        if not os.path.isdir(path):
-            raise FileNotFoundError(path)
-        state = _orbax_restore(path)
-    elif path.endswith('.pth'):
-        # a reference torch checkpoint: convert in-memory so reference
-        # users can pass their .pth straight to --ckpt (the explicit
-        # tools/import_torch_weights.py CLI persists the conversion)
-        import torch
-
-        from jmodt_tpu.utils.torch_import import convert_torch_checkpoint
-        state = convert_torch_checkpoint(
-            torch.load(path, map_location='cpu', weights_only=False))
-    else:
-        if not os.path.isfile(path):
-            raise FileNotFoundError(path)
-        with open(path, 'rb') as f:
-            state = flax.serialization.msgpack_restore(f.read())
+    state = read_checkpoint_state(filename, log)
+    path = filename
 
     template_dict = flax.serialization.to_state_dict(variables_template)
     missing, loaded = [], []

@@ -38,7 +38,28 @@ from typing import Any, Dict, Tuple
 import numpy as np
 
 __all__ = ['convert_model_state', 'convert_torch_checkpoint',
-           'export_model_state']
+           'export_model_state', 'load_reference_pth']
+
+
+def load_reference_pth(path: str) -> Dict[str, Any]:
+    """``torch.load`` a reference checkpoint, safely by default.
+
+    Everything the conversion consumes (tensor state_dict + int epoch/it)
+    loads under ``weights_only=True`` — no arbitrary pickle execution from
+    an untrusted 'pretrained model' download.  Checkpoints that stash
+    non-tensor objects (e.g. a pickled numpy scalar in optimizer_state)
+    fall back to the unsafe path with an explicit warning.
+    """
+    import logging
+
+    import torch
+    try:
+        return torch.load(path, map_location='cpu', weights_only=True)
+    except Exception as e:  # pickle-bearing legacy checkpoint
+        logging.getLogger(__name__).warning(
+            'weights_only load of %s failed (%s); falling back to full '
+            'unpickling — only do this for checkpoints you trust', path, e)
+        return torch.load(path, map_location='cpu', weights_only=False)
 
 
 def _np(x) -> np.ndarray:
@@ -355,13 +376,9 @@ def export_model_state(tree: Dict[str, Any]) -> Dict[str, np.ndarray]:
             return
         k = _np(sub['kernel'])
         w = {2: _unlinear, 3: _unconv1d, 4: _unconv2d}[rank](k)
-        suffix = '' if rank == 2 else '.conv'
-        if rank == 2:
-            out[tprefix + '.weight'] = w
-            out[tprefix + '.bias'] = _np(sub['bias'])
-        else:
-            out[tprefix + suffix + '.weight'] = w
-            out[tprefix + suffix + '.bias'] = _np(sub['bias'])
+        pre = tprefix + ('' if rank == 2 else '.conv')
+        out[pre + '.weight'] = w
+        out[pre + '.bias'] = _np(sub['bias'])
 
     bb = ('rpn', 'backbone')
     for k in range(8):

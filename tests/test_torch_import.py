@@ -49,16 +49,24 @@ def _install_stubs():
         sys.modules.setdefault(name, types.ModuleType(name))
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    # construction-time .cuda() calls become no-ops
+    # construction-time .cuda() calls become no-ops; return the originals
+    # so the fixture can restore them after the module's tests finish
+    saved = (torch.Tensor.cuda, torch.nn.Module.cuda)
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
+    return saved
 
 
 @pytest.fixture(scope='module')
-def ref_model():
+def ref_model(request):
     if not os.path.isdir(REF):
         pytest.skip('reference checkout not available')
-    _install_stubs()
+    saved = _install_stubs()
+
+    def restore():
+        torch.Tensor.cuda, torch.nn.Module.cuda = saved
+
+    request.addfinalizer(restore)
     from jmodt.detection.modeling.point_rcnn import PointRCNN
     torch.manual_seed(0)
     model = PointRCNN(num_classes=2, use_xyz=True, mode='TEST')

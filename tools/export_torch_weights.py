@@ -26,15 +26,18 @@ def main():
                     help='output torch checkpoint (.pth)')
     args = ap.parse_args()
 
-    import flax.serialization
+    import numpy as np
     import torch
 
+    from jmodt_tpu.train.checkpoint import read_checkpoint_state
     from jmodt_tpu.utils.torch_import import export_model_state
 
-    path = args.ckpt if args.ckpt.endswith('.ckpt') else args.ckpt + '.ckpt'
-    with open(path, 'rb') as f:
-        state = flax.serialization.msgpack_restore(f.read())
-    sd = {k: torch.from_numpy(v)
+    # stem-aware resolution (.ckpt / .orbax, newest wins) — same rules as
+    # load_checkpoint, so --async_ckpt runs export their current weights
+    state = read_checkpoint_state(args.ckpt)
+    # np.array(): msgpack-restored arrays are read-only; torch.from_numpy
+    # warns on non-writable buffers
+    sd = {k: torch.from_numpy(np.array(v))
           for k, v in export_model_state(state['model_state']).items()}
     torch.save({'epoch': state.get('epoch'), 'it': state.get('it'),
                 'model_state': sd, 'optimizer_state': None}, args.out)

@@ -28,22 +28,17 @@ def main():
                     help='output checkpoint stem (writes <out>.ckpt)')
     args = ap.parse_args()
 
-    import torch  # CPU-only load; no CUDA needed
+    import jax
 
     from jmodt_tpu.train.checkpoint import save_checkpoint
-    from jmodt_tpu.utils.torch_import import convert_torch_checkpoint
+    from jmodt_tpu.utils.torch_import import (convert_torch_checkpoint,
+                                              load_reference_pth)
 
-    ckpt = torch.load(args.pth, map_location='cpu', weights_only=False)
-    state = convert_torch_checkpoint(ckpt)
-    n = len(jax_tree_leaves(state['model_state']))
+    state = convert_torch_checkpoint(load_reference_pth(args.pth))
+    n = len(jax.tree_util.tree_leaves(state['model_state']))
     path = save_checkpoint(state, args.out)
     print(f'wrote {path}: {n} arrays '
           f'(epoch={state["epoch"]}, it={state["it"]})')
-
-
-def jax_tree_leaves(tree):
-    import jax
-    return jax.tree_util.tree_leaves(tree)
 
 
 if __name__ == '__main__':

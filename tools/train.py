@@ -35,17 +35,25 @@ def create_logger(log_file):
     # explicit handlers, not basicConfig: in-process multi-stage runs
     # (tools/synthetic_ladder.py) call main() repeatedly, and basicConfig
     # is a no-op after the first call — stage 2's file handler would never
-    # attach and its lines would land in stage 1's train.log
+    # attach and its lines would land in stage 1's train.log.  The file
+    # handler goes on the ROOT logger (as basicConfig did) so records from
+    # every library logger — e.g. the native-loader fallback warning in
+    # jmodt_tpu/native — still reach train.log.
     fmt = logging.Formatter('%(asctime)s  %(levelname)5s  %(message)s')
+    root = logging.getLogger()
+    root.setLevel(logging.INFO)
+    for h in list(root.handlers):
+        if isinstance(h, logging.FileHandler):
+            root.removeHandler(h)
+            h.close()
+    fh = logging.FileHandler(log_file)
+    fh.setFormatter(fmt)
+    root.addHandler(fh)
     logger = logging.getLogger('train')
     logger.setLevel(logging.INFO)
-    logger.propagate = False
     for h in list(logger.handlers):
         logger.removeHandler(h)
         h.close()
-    fh = logging.FileHandler(log_file)
-    fh.setFormatter(fmt)
-    logger.addHandler(fh)
     console = logging.StreamHandler()
     console.setFormatter(fmt)
     logger.addHandler(console)
