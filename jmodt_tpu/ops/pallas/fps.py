@@ -134,10 +134,14 @@ _TILE_B = 128
 def farthest_point_sample_batched_pallas(xyz: jnp.ndarray, npoint: int,
                                          interpret: bool = False
                                          ) -> jnp.ndarray:
-    """(B, N, 3) float32 -> (B, npoint) int32 for LARGE B / small N.
-    idx[:, 0] == 0 (CUDA fixed seed).  B is padded to the 128-row tile."""
+    """(B, N, 3) float32 -> (B, npoint) int32 for B > 1 clouds stepped in
+    lockstep.  idx[:, 0] == 0 (CUDA fixed seed).  B pads to the row tile."""
     b, n, _ = xyz.shape
     tb = min(_TILE_B, b + ((-b) % 8))   # row-tile: multiple of 8 sublanes
+    # cap the tile so the four (tb, n) f32 VMEM planes (x, y, z, min-dist)
+    # stay within ~6 MB — at n=16384 that is tb=24, still one grid step for
+    # the batched-streams shape (S=4) and the train batch
+    tb = min(tb, max(8, (6 * 2 ** 20 // (16 * n)) // 8 * 8))
     pad = (-b) % tb
     xyz_p = jnp.pad(xyz, ((0, pad), (0, 0), (0, 0)))
     bp = b + pad

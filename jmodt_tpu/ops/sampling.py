@@ -35,20 +35,24 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
     """
     b, n = xyz.shape[0], xyz.shape[1]
     if use_pallas and jax.default_backend() == 'tpu' and n % 128 == 0:
-        if n >= 2048:
-            # measured round 3 (fetch-synced): 1.8 ms vs 28.8 ms for the
-            # XLA scan at (16384 -> 4096) — the scan's sequential steps are
-            # latency-bound, the Pallas kernel keeps min-dist in VMEM.
-            # Only for LARGE clouds: this kernel runs one grid program per
-            # batch row and TPU grid steps are sequential, so at RCNN
-            # shapes (100 x 512 -> 128) it SERIALIZES over rois and loses
-            # to the vmapped scan (5.7 ms vs 1.9 ms).
+        # Measured round 3 (fetch-synced, v5e): the XLA scan's sequential
+        # steps are latency-bound (~15 us/step regardless of width), so the
+        # VMEM-resident kernels win everywhere the shapes allow:
+        #   16384->4096  1.8 ms Pallas vs 28.8 ms scan (single-cloud)
+        #   1024->256    0.26 vs 0.62; 256->64  0.06 vs 0.10 (single-cloud)
+        #   100x512->128 0.32 vs 1.9 (batched row-tiled)
+        if b == 1 and n >= 256:
             from jmodt_tpu.ops.pallas.fps import farthest_point_sample_pallas
             return farthest_point_sample_pallas(xyz, npoint)
-        if b >= 16 and n <= 2048:
-            # many small clouds (RCNN RoIs): one program row-tiles ALL
-            # clouds' min-dist state in VMEM and steps them in lockstep —
-            # the scan pays ~15 us of fused-op latency per sequential step
+        if b > 1:
+            # Several clouds (batched streams S=4, train batches, RCNN
+            # RoIs): one program row-tiles ALL clouds' min-dist state in
+            # VMEM and steps them in lockstep.  NEVER vmap the single-cloud
+            # kernel here — its grid programs serialize per batch row
+            # (measured 5.7 ms vs 0.32 ms at 100x512->128).  Per step the
+            # (tb, n) layout costs the same vector passes as the
+            # single-cloud (n/128, 128) layout, so lockstep batching is
+            # ~free until the VMEM tile cap (fps.py) splits the grid.
             from jmodt_tpu.ops.pallas.fps import (
                 farthest_point_sample_batched_pallas)
             return farthest_point_sample_batched_pallas(xyz, npoint)

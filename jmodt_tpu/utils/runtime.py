@@ -14,7 +14,17 @@ _DEFAULT_CACHE = os.path.expanduser('~/.cache/jmodt_tpu/xla')
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable the persistent XLA compilation cache — TPU only.
+
+    On the CPU backend (jax 0.9) the cache persists AOT machine code whose
+    target-feature check fails on reload (cpu_aot_loader.cc warns
+    "+prefer-no-scatter ... could lead to execution errors such as SIGILL")
+    and large sharded executables then abort the process, so CPU runs
+    (tests, the virtual-mesh dryrun, CPU tool invocations) must compile
+    fresh."""
     import jax
+    if jax.default_backend() != 'tpu':
+        return
     cache_dir = path or os.environ.get('JMODT_XLA_CACHE', _DEFAULT_CACHE)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache_dir)

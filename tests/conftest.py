@@ -23,6 +23,15 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
+# NOTE: do NOT enable the persistent compilation cache here.  Measured on
+# this image (jax 0.9, 2026-08-18): warm reruns are ~3x faster (5:47 ->
+# 1:55 on test_points_parallel), but the CPU backend persists AOT MACHINE
+# CODE whose target-feature check fails on reload ("+prefer-no-scatter ...
+# not supported on the host machine ... could lead to execution errors
+# such as SIGILL", cpu_aot_loader.cc) and the big sharded train-step
+# executable then hard-aborts the process (Fatal Python error: Aborted in
+# block_until_ready).  enable_compilation_cache() is therefore TPU-only.
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -43,7 +43,7 @@ def test_pallas_three_nn_matches_xla():
 
 
 @pytest.mark.parametrize('b,n,npoint', [(100, 512, 128), (20, 256, 64),
-                                        (3, 128, 32)])
+                                        (3, 128, 32), (4, 2048, 128)])
 def test_batched_matches_xla_scan(rng, b, n, npoint):
     """Row-tiled batched FPS kernel (interpret) == the vmapped XLA scan,
     including non-multiple-of-8 batch sizes (row padding)."""
@@ -52,4 +52,16 @@ def test_batched_matches_xla_scan(rng, b, n, npoint):
     want = np.asarray(farthest_point_sample(xyz, npoint))
     got = np.asarray(farthest_point_sample_batched_pallas(
         xyz, npoint, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batched_vmem_tile_cap(rng):
+    """At n=16384 the VMEM budget caps the row tile at 24, so b=32 splits
+    into a 2-step grid with row padding — indices must still match the
+    scan exactly across the tile boundary."""
+    from jmodt_tpu.ops.pallas.fps import farthest_point_sample_batched_pallas
+    xyz = rng.randn(32, 16384, 3).astype(np.float32) * 5
+    want = np.asarray(farthest_point_sample(xyz, 16))
+    got = np.asarray(farthest_point_sample_batched_pallas(
+        xyz, 16, interpret=True))
     np.testing.assert_array_equal(got, want)

@@ -108,6 +108,14 @@ def main():
         cloud = jax.random.normal(key, (100, 512, 3))
         fn = jax.jit(lambda x: farthest_point_sample_batched_pallas(x, 128))
         res['fps_roi_pallas_100x512_128'] = slope_time(fn, [cloud], it) * 1e3
+        # batched kernel at the multi-stream / train level-0 shape (B=4,
+        # N=16384): one lockstep program vs the single-cloud kernel's four
+        # serialized grid rows — validates the b>1 dispatch (sampling.py)
+        cloud = jax.random.normal(key, (4, 16384, 3)) * 30.0
+        fn = jax.jit(lambda x: farthest_point_sample_batched_pallas(x, 4096))
+        res['fps_b4_batched_16384_4096'] = slope_time(fn, [cloud], it) * 1e3
+        fn = jax.jit(lambda x: farthest_point_sample_pallas(x, 4096))
+        res['fps_b4_single_16384_4096'] = slope_time(fn, [cloud], it) * 1e3
 
     # ---- ball query level 0 (the largest pairwise matrix) ----
     cloud = jax.random.normal(key, (1, 16384, 3)) * 30.0
