@@ -68,11 +68,13 @@ def main():
     enable_compilation_cache()
     cfg = Config()
     if os.environ.get('BENCH_PALLAS_FPS'):
-        # A/B hook: BENCH_PALLAS_FPS=1 routes the backbone FPS through the
-        # Pallas VMEM kernel (cfg.RPN.USE_PALLAS_FPS) for on-chip comparison
+        # A/B hook: USE_PALLAS_FPS now defaults True, so the useful arm is
+        # BENCH_PALLAS_FPS=0 — forces the XLA-scan FPS for on-chip
+        # comparison against the default Pallas path
         import dataclasses
+        val = os.environ['BENCH_PALLAS_FPS'].lower() not in ('0', 'false')
         cfg = dataclasses.replace(
-            cfg, RPN=dataclasses.replace(cfg.RPN, USE_PALLAS_FPS=True))
+            cfg, RPN=dataclasses.replace(cfg.RPN, USE_PALLAS_FPS=val))
     frames = [make_eval_frame(seed=s, cfg=cfg, raw_u8=True)
               for s in range(16)]
     f0 = frames[0]

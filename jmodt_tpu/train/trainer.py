@@ -66,8 +66,11 @@ class Trainer:
         self.cfg = cfg
         self.model = model
         if mesh is not None:
-            from jmodt_tpu.parallel import replicated_sharding
-            state = jax.device_put(state, replicated_sharding(mesh))
+            # put_replicated, not device_put: on a multi-process mesh
+            # device_put cannot target other hosts' devices — each process
+            # supplies its identical host copy instead (parallel/mesh.py)
+            from jmodt_tpu.parallel import put_replicated
+            state = put_replicated(state, mesh)
         self.state = state
         self.ckpt_dir = ckpt_dir
         self.tb_log = tb_log

@@ -1,6 +1,7 @@
 """Runtime utilities: compilation cache, profiling, logging, checkpointing."""
 
-from jmodt_tpu.utils.runtime import (annotate, enable_compilation_cache,
-                                     profile_trace)
+from jmodt_tpu.utils.runtime import (annotate, apply_platform_override,
+                                     enable_compilation_cache, profile_trace)
 
-__all__ = ['enable_compilation_cache', 'profile_trace', 'annotate']
+__all__ = ['enable_compilation_cache', 'profile_trace', 'annotate',
+           'apply_platform_override']

@@ -13,6 +13,21 @@ import os
 _DEFAULT_CACHE = os.path.expanduser('~/.cache/jmodt_tpu/xla')
 
 
+def apply_platform_override() -> None:
+    """Honor `JMODT_PLATFORM` (e.g. `cpu`) at tool startup.
+
+    On hosts where a sitecustomize imports jax and forces `JAX_PLATFORMS`
+    before user code runs, the env var is pre-empted — but backends
+    initialize lazily, so flipping the config knob at main() still works
+    (same mechanism as tests/conftest.py).  Lets every tools/ CLI run on
+    the CPU backend (`JMODT_PLATFORM=cpu python tools/train.py --small ...`)
+    without touching the TPU relay."""
+    plat = os.environ.get('JMODT_PLATFORM')
+    if plat:
+        import jax
+        jax.config.update('jax_platforms', plat)
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Enable the persistent XLA compilation cache — TPU only.
 

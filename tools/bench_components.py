@@ -66,14 +66,21 @@ def main():
     from jmodt_tpu.ops.sampling import farthest_point_sample
     from jmodt_tpu.tracking.device_tracker import (init_state,
                                                    make_device_tracker_step)
-    from jmodt_tpu.utils import enable_compilation_cache
+    from jmodt_tpu.utils import (apply_platform_override,
+                                 enable_compilation_cache)
 
+    apply_platform_override()
     enable_compilation_cache()
     cfg = Config()
     if args.pallas_fps:
         cfg = dataclasses.replace(
             cfg, RPN=dataclasses.replace(cfg.RPN, USE_PALLAS_FPS=True))
-    res = {'pallas_fps': bool(args.pallas_fps)}
+    # NOTE: --pallas_fps only switches the STANDALONE fps_* rows; model-level
+    # rows (sa_level*, backbone, detection_step, rcnn_*) follow the config
+    # defaults recorded here (USE_PALLAS_FPS / FUSED_SA are default-True)
+    res = {'standalone_fps_pallas': bool(args.pallas_fps),
+           'cfg_use_pallas_fps': bool(cfg.RPN.USE_PALLAS_FPS),
+           'cfg_fused_sa': bool(cfg.RCNN.FUSED_SA)}
     it = args.iters
 
     f0 = make_eval_frame(seed=0, cfg=cfg, raw_u8=True)
@@ -254,11 +261,14 @@ def main():
     res['proposal_layer'] = slope_time(fn, [rpn_scores, rpn_reg, pts],
                                        it) * 1e3
 
-    # ---- RCNN forward alone (100 rois through the 3-level SA stack) ----
+    # ---- RCNN forward alone (100 rois through the 3-level SA stack).
+    # FUSED_SA defaults True, so the UNFUSED baseline must be forced
+    # explicitly or both A/B rows silently measure the fused program ----
     from jmodt_tpu.models.rcnn import RCNN
     rc_ch = 3 + 1 + (1 if cfg.RCNN.USE_DEPTH else 0) + 128
     rcnn_in = jax.random.normal(key, (100, cfg.RCNN.NUM_POINTS, rc_ch))
-    rcnn = RCNN(cfg)
+    rcnn = RCNN(dataclasses.replace(
+        cfg, RCNN=dataclasses.replace(cfg.RCNN, FUSED_SA=False)))
     rvars = jax.jit(lambda k: rcnn.init(k, rcnn_in, gt_tids=None,
                                         train=False))(jax.random.PRNGKey(2))
     fn = jax.jit(lambda v, x: rcnn.apply(v, x, gt_tids=None, train=False))

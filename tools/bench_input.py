@@ -121,6 +121,8 @@ def main():
                     help='reuse/keep the tree at this path')
     args = ap.parse_args()
 
+    from jmodt_tpu.utils import apply_platform_override
+    apply_platform_override()
     from jmodt_tpu.config import Config
     from jmodt_tpu.data.converter import create_train_sample_data
     from jmodt_tpu.data.kitti_dataset import KittiDataset

@@ -38,8 +38,10 @@ def main():
     from jmodt_tpu.data.synthetic import make_pair_batch
     from jmodt_tpu.models import PointRCNN
     from jmodt_tpu.train import create_train_state, make_train_step
-    from jmodt_tpu.utils import enable_compilation_cache
+    from jmodt_tpu.utils import (apply_platform_override,
+                                 enable_compilation_cache)
 
+    apply_platform_override()
     enable_compilation_cache()
     if args.small:
         import __graft_entry__

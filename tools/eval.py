@@ -35,7 +35,8 @@ from jmodt_tpu.models import PointRCNN
 from jmodt_tpu.models.inference import make_detection_step, make_recall_fn
 from jmodt_tpu.models.rcnn import CorrelationHead
 from jmodt_tpu.tracking import Tracker
-from jmodt_tpu.utils import enable_compilation_cache
+from jmodt_tpu.utils import (apply_platform_override,
+                             enable_compilation_cache)
 from jmodt_tpu.utils.kitti_io import (save_kitti_detection_format,
                                       save_kitti_tracking_format)
 from jmodt_tpu.utils.object3d import Object3d
@@ -515,6 +516,7 @@ def main():
         parser.error(f'--max_dets ({args.max_dets}) must be <= '
                      f'--max_tracks ({args.max_tracks})')
 
+    apply_platform_override()
     enable_compilation_cache()
     np.random.seed(2333)  # reference tools/eval.py:36
 

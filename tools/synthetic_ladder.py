@@ -211,7 +211,11 @@ def main():
     print(json.dumps({
         'ap_3d_moderate': float(ap_dict.get('Car_3d_moderate', -1.0)),
         'ap_bev_moderate': float(ap_dict.get('Car_bev_moderate', -1.0)),
-        'mota': float(mota) if isinstance(mota, (int, float)) else None,
+        # evaluate() returns False on a failed evaluation (sequence-count
+        # mismatch / nothing scored) — that must stay distinguishable from
+        # a genuine MOTA of 0.0, and isinstance(False, int) is True
+        'mota': (float(mota) if isinstance(mota, (int, float))
+                 and not isinstance(mota, bool) else None),
         'stages': [args.epochs1, args.epochs2, args.epochs3],
     }))
 

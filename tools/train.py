@@ -28,7 +28,8 @@ from jmodt_tpu.models import PointRCNN
 from jmodt_tpu.train import create_train_state
 from jmodt_tpu.train.checkpoint import load_checkpoint
 from jmodt_tpu.train.trainer import Trainer, make_loader
-from jmodt_tpu.utils import enable_compilation_cache
+from jmodt_tpu.utils import (apply_platform_override,
+                             enable_compilation_cache)
 
 
 def create_logger(log_file):
@@ -121,6 +122,7 @@ def main():
 
     if args.multihost:
         jax.distributed.initialize()
+    apply_platform_override()
     enable_compilation_cache()
     os.makedirs(args.output_dir, exist_ok=True)
     logger = create_logger(os.path.join(args.output_dir, 'train.log'))
