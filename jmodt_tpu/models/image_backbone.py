@@ -45,26 +45,38 @@ def feature_gather(feature_map: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     # align_corners=True: -1 -> 0, +1 -> size-1
     u = (xy[..., 0] + 1.0) * 0.5 * (w - 1)
     v = (xy[..., 1] + 1.0) * 0.5 * (h - 1)
-    u0 = jnp.clip(jnp.floor(u), 0, w - 1)
-    v0 = jnp.clip(jnp.floor(v), 0, h - 1)
-    u1 = jnp.clip(u0 + 1, 0, w - 1)
-    v1 = jnp.clip(v0 + 1, 0, h - 1)
+    # padding_mode='zeros' (the reference grid_sample default): weights come
+    # from the UNCLAMPED floor, and each of the four taps contributes zero
+    # when its pixel lies outside the map — clamping before the weight
+    # computation would EXTRAPOLATE (weights far outside [0, 1]) for points
+    # that project outside the image instead of fading them to zero
+    u0f = jnp.floor(u)
+    v0f = jnp.floor(v)
     # interpolation weights in the feature dtype: keeps bf16 feature maps
     # bf16 through the blend instead of promoting every gather to f32
-    au = (u - u0)[..., None].astype(feature_map.dtype)
-    av = (v - v0)[..., None].astype(feature_map.dtype)
-    u0i, u1i = u0.astype(jnp.int32), u1.astype(jnp.int32)
-    v0i, v1i = v0.astype(jnp.int32), v1.astype(jnp.int32)
+    au = (u - u0f)[..., None].astype(feature_map.dtype)
+    av = (v - v0f)[..., None].astype(feature_map.dtype)
+
+    def clampi(x, hi):
+        return jnp.clip(x, 0, hi).astype(jnp.int32)
+
+    u0i, u1i = clampi(u0f, w - 1), clampi(u0f + 1, w - 1)
+    v0i, v1i = clampi(v0f, h - 1), clampi(v0f + 1, h - 1)
+    in_u0 = (u0f >= 0) & (u0f <= w - 1)
+    in_u1 = (u0f + 1 >= 0) & (u0f + 1 <= w - 1)
+    in_v0 = (v0f >= 0) & (v0f <= h - 1)
+    in_v1 = (v0f + 1 >= 0) & (v0f + 1 <= h - 1)
 
     flat = feature_map.reshape(b, h * w, c)
 
-    def take(vi, ui):
-        return jnp.take_along_axis(flat, (vi * w + ui)[..., None], axis=1)
+    def take(vi, ui, ok):
+        t = jnp.take_along_axis(flat, (vi * w + ui)[..., None], axis=1)
+        return t * ok[..., None].astype(feature_map.dtype)
 
-    f00 = take(v0i, u0i)
-    f01 = take(v0i, u1i)
-    f10 = take(v1i, u0i)
-    f11 = take(v1i, u1i)
+    f00 = take(v0i, u0i, in_v0 & in_u0)
+    f01 = take(v0i, u1i, in_v0 & in_u1)
+    f10 = take(v1i, u0i, in_v1 & in_u0)
+    f11 = take(v1i, u1i, in_v1 & in_u1)
     top = f00 * (1 - au) + f01 * au
     bot = f10 * (1 - au) + f11 * au
     return top * (1 - av) + bot * av

@@ -91,6 +91,10 @@ def make_detection_step(cfg: Config, model: PointRCNN, jit: bool = True):
             feats], axis=-1)
         return {'boxes': boxes, 'scores': scores, 'feats': feats,
                 'keep': keep, 'rois': rois, 'roi_mask': out['roi_mask'],
+                # ALL decoded boxes, pre-score-threshold/pre-NMS: the
+                # reference computes bbox recall from these
+                # (tools/eval.py:149-155), not from the NMS survivors
+                'pred_boxes_all': pred_boxes,
                 'seg_result': out['seg_result'], 'packed': packed}
 
     # jit only at the API boundary: a nested pjit inside an outer scan/jit
@@ -129,7 +133,11 @@ def make_recall_fn(max_gt: int = 32, max_det: int = 128):
         round trip (fetch once after the loop).  Consumes the detection
         step's device outputs directly (batch row 0)."""
         gt_mask = jnp.sum(jnp.abs(gt_boxes), axis=1) > 0
-        r, rr, ng = recall(det_out['boxes'][0], det_out['keep'][0],
+        # pred_boxes_all + roi_mask, NOT the NMS survivors: the reference's
+        # recall counts a gt as recalled if ANY decoded box covers it,
+        # before the score threshold and NMS (tools/eval.py:149-155)
+        r, rr, ng = recall(det_out['pred_boxes_all'][0],
+                           det_out['roi_mask'][0],
                            det_out['rois'][0], det_out['roi_mask'][0],
                            gt_boxes, gt_mask)
         return acc + jnp.concatenate(

@@ -30,7 +30,7 @@ from jmodt_tpu.tracking.device_tracker import (TrackerState, init_state,
 
 
 def make_joint_step(cfg: Config, model: PointRCNN, link_apply: Callable,
-                    track_k: int = 16, max_tracks: int = 64,
+                    track_k: int = 16,
                     det_score_thresh: float = 0.85, **tracker_kw):
     """Jitted `joint(variables, link_params, state, frame_id, pts, img, xy)
     -> (state, packed (T, 10))` where packed rows are
@@ -66,7 +66,6 @@ def make_joint_step(cfg: Config, model: PointRCNN, link_apply: Callable,
 
 def make_batched_joint_step(cfg: Config, model: PointRCNN,
                             link_apply: Callable, track_k: int = 16,
-                            max_tracks: int = 64,
                             det_score_thresh: float = 0.85,
                             mesh=None, **tracker_kw):
     """S independent streams advance in LOCKSTEP through one program:
@@ -130,10 +129,11 @@ def make_batched_joint_step(cfg: Config, model: PointRCNN,
 
 
 def make_scan_step(cfg: Config, model: PointRCNN, link_apply: Callable,
-                   chunk: int, track_k: int = 16, max_tracks: int = 64,
+                   track_k: int = 16,
                    det_score_thresh: float = 0.85, **tracker_kw):
-    """Chunked streaming: `lax.scan` the joint step over `chunk` stacked
-    frames inside ONE program.
+    """Chunked streaming: `lax.scan` the joint step over K stacked frames
+    inside ONE program (K = the leading dim of the stacked inputs; each
+    distinct K compiles once).
 
     scan_step(variables, link_params, state, frame_ids (K,),
               pts (K, 1, N, 3), imgs (K, 1, H, W, 3), xys (K, 1, N, 2))
@@ -180,8 +180,8 @@ class ScanPipeline:
                  link_apply: Callable, link_params, feat_dim: int,
                  chunk: int = 16, max_tracks: int = 64, track_k: int = 16,
                  det_score_thresh: float = 0.85, **tracker_kw):
-        self.scan = make_scan_step(cfg, model, link_apply, chunk,
-                                   track_k=track_k, max_tracks=max_tracks,
+        self.scan = make_scan_step(cfg, model, link_apply,
+                                   track_k=track_k,
                                    det_score_thresh=det_score_thresh,
                                    **tracker_kw)
         self.variables = variables
@@ -256,7 +256,6 @@ class JointPipeline:
                  **tracker_kw):
         self.joint = make_joint_step(cfg, model, link_apply,
                                      track_k=track_k,
-                                     max_tracks=max_tracks,
                                      det_score_thresh=det_score_thresh,
                                      **tracker_kw)
         self.variables = variables

@@ -89,8 +89,9 @@ def _make_mats() -> KalmanMats:
 
 class TrackerState(NamedTuple):
     """Fixed-slot track store. T slots; tid == 0 means free."""
-    mean: jnp.ndarray      # (T, 10)
-    cov: jnp.ndarray       # (T, 10, 10)
+    mean: jnp.ndarray      # (T, 16) — 10-dim Kalman state zero-padded to
+                           # the MXU-friendly _DIM_X=16 (module header)
+    cov: jnp.ndarray       # (T, 16, 16) — same padding, pad block zeroed
     feat: jnp.ndarray      # (T, C)
     score: jnp.ndarray     # (T,)
     misses: jnp.ndarray    # (T,) int32

@@ -100,10 +100,10 @@ def test_batched_joint_matches_independent(setup):
     from jmodt_tpu.tracking.device_tracker import (init_batched_state,
                                                    init_state)
     cfg, model, variables, head, link_p, feat_dim, frames = setup
-    kw = dict(track_k=8, det_score_thresh=0.0, max_tracks=16)
+    kw = dict(track_k=8, det_score_thresh=0.0)
     joint = make_joint_step(cfg, model, head.apply, **kw)
     bj = make_batched_joint_step(cfg, model, head.apply, track_k=8,
-                                 det_score_thresh=0.0, max_tracks=16)
+                                 det_score_thresh=0.0)
 
     streams = [frames[0:3], frames[3:6]]  # two 3-frame streams
     # serial reference: each stream independently
@@ -142,7 +142,7 @@ def test_batched_joint_sharded_matches_unsharded(setup):
     from jmodt_tpu.pipeline import make_batched_joint_step
     from jmodt_tpu.tracking.device_tracker import init_batched_state
     cfg, model, variables, head, link_p, feat_dim, frames = setup
-    kw = dict(track_k=8, det_score_thresh=0.0, max_tracks=16)
+    kw = dict(track_k=8, det_score_thresh=0.0)
     bj = make_batched_joint_step(cfg, model, head.apply, **kw)
     sj = make_batched_joint_step(cfg, model, head.apply,
                                  mesh=make_mesh(jax.devices()[:4]), **kw)

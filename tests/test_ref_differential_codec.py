@@ -156,3 +156,28 @@ def test_feature_gather_vs_grid_sample():
     ours = np.asarray(feature_gather(fmap[:1], corners))
     np.testing.assert_allclose(np.transpose(ours, (0, 2, 1)), ref,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_feature_gather_out_of_range_zero_pads():
+    """padding_mode='zeros' (the reference grid_sample default): points
+    projecting OUTSIDE the image fade to zero tap-by-tap instead of
+    extrapolating from clamped edge pixels."""
+    import torch.nn.functional as F
+
+    from jmodt_tpu.models.image_backbone import feature_gather
+
+    rng = np.random.RandomState(7)
+    fmap = rng.randn(1, 16, 24, 4).astype(np.float32) + 3.0  # offset: no
+    # accidental zeros masking a wrong blend
+    xy = (rng.rand(1, 400, 2) * 6 - 3).astype(np.float32)    # in [-3, 3]
+    # include exact boundary and just-outside values
+    xy[0, :8] = [[-1, -1], [1, 1], [-1.0001, 0], [1.0001, 0],
+                 [0, -1.0001], [0, 1.0001], [-3, -3], [3, 3]]
+    ref = F.grid_sample(
+        torch.from_numpy(np.transpose(fmap, (0, 3, 1, 2))),
+        torch.from_numpy(xy).unsqueeze(1),
+        mode='bilinear', padding_mode='zeros',
+        align_corners=True).squeeze(2).numpy()
+    ours = np.asarray(feature_gather(fmap, xy))
+    np.testing.assert_allclose(np.transpose(ours, (0, 2, 1)), ref,
+                               rtol=1e-4, atol=1e-5)
