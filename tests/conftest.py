@@ -35,6 +35,30 @@ jax.config.update('jax_platforms', 'cpu')
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The compile-heavy files (full-size model builds, sharded train-step
+# compiles, end-to-end ladders) account for ~35 of the suite's ~43 quiet
+# minutes on this 1-core host.  Auto-mark them `slow` so
+# `pytest -m "not slow"` is the supported ~10-minute quick gate
+# (VERDICT r3 weak #6); the full suite stays the pre-merge bar.
+_SLOW_FILES = {
+    'test_points_parallel',  # three sharded train-step compiles (~16 min)
+    'test_bf16',             # emulated bf16 on CPU (~8 min)
+    'test_models',
+    'test_train_step',
+    'test_eval_batch_seqs',
+    'test_pipeline',
+    'test_overfit',
+    'test_full_ladder',
+    'test_multihost',
+    'test_lidar_only',
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
