@@ -1,0 +1,168 @@
+"""On-chip Pallas kernel parity driver (VERDICT r3 next-step #3).
+
+The interpret-mode pytest suite (tests/test_pallas_fps.py,
+tests/test_fused_sa.py) pins the kernels' MATH on CPU, but Mosaic
+compilation behavior differs from the interpreter (the round-3
+dynamic-lane-store bug compiled in interpret mode and only failed on
+chip).  This driver runs every Pallas kernel COMPILED on the real TPU
+against its XLA twin at production-like shapes, asserts parity, and
+prints one JSON line:
+
+  {"metric": "pallas_on_chip_parity", "pass": true/false,
+   "<kernel>": "ok" | "<failure detail>", ...}
+
+Exit 0 on full parity, 1 on any mismatch, 2 on relay hang (watchdog).
+Runs anywhere via JMODT_PLATFORM=cpu (kernels then run in interpret
+mode — useful for a smoke check of the driver itself, not a Mosaic
+test).
+
+Usage: python tools/verify_pallas.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), '..')))
+
+
+def _watchdog(seconds=int(os.environ.get('BENCH_WATCHDOG_S', 1200))):
+    def fire():
+        print(json.dumps({'metric': 'pallas_on_chip_parity', 'pass': None,
+                          'error': f'exceeded {seconds}s — TPU relay '
+                                   'unresponsive?'}), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+def main():
+    from jmodt_tpu.utils.runtime import apply_platform_override
+    apply_platform_override()
+    watchdog = _watchdog()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jmodt_tpu.ops.fused_sa import fused_sa_eval
+    from jmodt_tpu.ops.grouping import ball_query
+    from jmodt_tpu.ops.interpolate import three_nn
+    from jmodt_tpu.ops.pallas.fps import (
+        farthest_point_sample_batched_pallas, farthest_point_sample_pallas)
+    from jmodt_tpu.ops.pallas.grouped_gather_mlp import grouped_gather_mlp_max
+    from jmodt_tpu.ops.pallas.three_nn import three_nn_pallas
+    from jmodt_tpu.ops.sampling import farthest_point_sample, gather_xyz
+    from jmodt_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    interpret = jax.default_backend() != 'tpu'
+    rng = np.random.RandomState(2333)
+    results: dict = {}
+
+    def check(name, fn):
+        try:
+            fn()
+            results[name] = 'ok'
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            results[name] = f'{type(e).__name__}: {e}'[:300]
+
+    # ---- FPS single-cloud kernel (the RPN level-0 shape) ----------------
+    def fps_single():
+        xyz = rng.randn(1, 4096, 3).astype(np.float32) * 5
+        want = np.asarray(jax.jit(
+            lambda a: farthest_point_sample(a, 1024))(xyz))
+        got = np.asarray(jax.jit(lambda a: farthest_point_sample_pallas(
+            a, 1024, interpret=interpret))(xyz))
+        np.testing.assert_array_equal(got, want)
+
+    # ---- FPS batched lockstep kernel (the RCNN RoI shape) ---------------
+    def fps_batched():
+        xyz = rng.randn(100, 512, 3).astype(np.float32) * 5
+        want = np.asarray(jax.jit(
+            lambda a: farthest_point_sample(a, 128))(xyz))
+        got = np.asarray(jax.jit(
+            lambda a: farthest_point_sample_batched_pallas(
+                a, 128, interpret=interpret))(xyz))
+        np.testing.assert_array_equal(got, want)
+
+    # ---- FPS batched at the VMEM row-tile cap (grid > 1, row padding) ---
+    def fps_batched_tilecap():
+        xyz = rng.randn(8, 16384, 3).astype(np.float32) * 5
+        want = np.asarray(jax.jit(
+            lambda a: farthest_point_sample(a, 64))(xyz))
+        got = np.asarray(jax.jit(
+            lambda a: farthest_point_sample_batched_pallas(
+                a, 64, interpret=interpret))(xyz))
+        np.testing.assert_array_equal(got, want)
+
+    # ---- fused three-NN (the FP level-0 shape, with M padding) ----------
+    def three_nn_check():
+        u = rng.randn(1, 2048, 3).astype(np.float32) * 10
+        k = rng.randn(1, 1000, 3).astype(np.float32) * 10
+        d_ref, i_ref = jax.jit(
+            lambda a, b: three_nn(a, b, use_pallas=False))(u, k)
+        d_p, i_p = jax.jit(lambda a, b: three_nn_pallas(
+            a, b, interpret=interpret))(u, k)
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_ref),
+                                   atol=1e-3)
+
+    # ---- grouped gather+MLP+max (the RCNN sa_0 tile geometry) -----------
+    def grouped_mlp():
+        key = jax.random.PRNGKey(1)
+        kx, kf, kw = jax.random.split(key, 3)
+        b, n, m, s, c = 2, 1024, 128, 64, 128
+        xyz = jax.random.normal(kx, (b, n, 3), jnp.float32)
+        feats = jax.random.normal(kf, (b, n, c), jnp.float32)
+        idx = farthest_point_sample(xyz, m)
+        new_xyz = gather_xyz(xyz, idx)
+        nbr = ball_query(2.5, s, xyz, new_xyz)
+        ks = jax.random.split(kw, 6)
+        widths = [(3 + c, 128), (128, 128), (128, 128)]
+        layers = tuple(
+            (jax.random.normal(ks[2 * i], w, jnp.float32) * 0.1,
+             jax.random.normal(ks[2 * i + 1], (w[1],), jnp.float32) * 0.1)
+            for i, w in enumerate(widths))
+        ref = jax.jit(lambda *a: fused_sa_eval(*a, use_pallas=False))(
+            xyz, feats, new_xyz, nbr, layers)
+        (w1, b1) = layers[0]
+
+        def pal(xyz, feats, new_xyz, nbr, layers):
+            (w1, b1), rest = layers[0], layers[1:]
+            catf = jnp.concatenate([xyz, feats], axis=-1)
+            return grouped_gather_mlp_max(catf @ w1, nbr, new_xyz @ w1[:3],
+                                          b1, tuple(rest),
+                                          interpret=interpret)
+
+        out = jax.jit(pal)(xyz, feats, new_xyz, nbr, layers)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    check('fps_single_4096_1024', fps_single)
+    check('fps_batched_100x512_128', fps_batched)
+    check('fps_batched_tilecap_8x16384_64', fps_batched_tilecap)
+    check('three_nn_2048x1000', three_nn_check)
+    check('grouped_gather_mlp_rcnn_sa0', grouped_mlp)
+
+    ok = all(v == 'ok' for v in results.values())
+    watchdog.cancel()
+    print(json.dumps({
+        'metric': 'pallas_on_chip_parity',
+        'pass': ok,
+        'backend': jax.default_backend(),
+        'interpret_mode': bool(interpret),
+        **results,
+    }))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == '__main__':
+    main()
