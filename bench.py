@@ -142,6 +142,46 @@ def main():
     dt, packed_last = slope(N_FRAMES // 4, N_FRAMES)
     outs = [packed_last]
 
+    # two-slot software pipelining (VERDICT r3 next-step #4): issue frame
+    # i+1's host->device transfers while frame i's program executes, so
+    # upload latency hides behind compute.  Two flavors:
+    #   devput — jax.device_put the next frame's three arrays right after
+    #            dispatching the current program (async puts; round-2 found
+    #            bare device_put in the CRITICAL path serializes the three
+    #            arrays, but here they only need to finish before the NEXT
+    #            dispatch)
+    #   jitid  — push the next frame through a jitted identity, so the
+    #            transfer rides the same overlapped arg-transfer path the
+    #            direct call uses (costs one extra ~2.4 ms dispatch)
+    jit_id = jax.jit(lambda a, b, c: (a, b, c))
+
+    def timed_pass_pipelined(n_frames, put):
+        st = state0
+        f = frames[0]
+        nxt = put(f['pts_input'], f['img'], f['pts_xy'])
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            cur = nxt
+            f = frames[(i + 1) % len(frames)]
+            nxt = put(f['pts_input'], f['img'], f['pts_xy'])
+            st, packed = joint(variables, link_p, st, jnp.asarray(i + 1),
+                               *cur)
+        float(sync(st))
+        return time.perf_counter() - t0, packed
+
+    def slope_pipelined(put):
+        best = 1e9
+        for _ in range(2):
+            t_small, _ = timed_pass_pipelined(N_FRAMES // 4, put)
+            t_big, _ = timed_pass_pipelined(N_FRAMES, put)
+            best = min(best, (t_big - t_small)
+                       / (N_FRAMES - N_FRAMES // 4))
+        return best
+
+    pipelined_devput_dt = slope_pipelined(
+        lambda *a: tuple(jax.device_put(x) for x in a))
+    pipelined_jitid_dt = slope_pipelined(jit_id)
+
     # secondary: device-resident inputs (the deployment condition where
     # frames arrive by DMA/infeed instead of per-call RPC upload)
     dev_frames = [tuple(jax.device_put(f[k])
@@ -253,8 +293,15 @@ def main():
         'value': round(dt * 1e3, 3),
         'unit': 'ms',
         'vs_baseline': round(BASELINE_S_PER_FRAME / dt, 2),
+        'vs_baseline_note': ('full detect+track vs the reference '
+                             'TRACKING-ONLY 10 ms published baseline; '
+                             'like-for-like is tracking_vs_baseline'),
+        'full_pipeline_streaming_ms': round(dt * 1e3, 3),
         'last_frame_track_rows': n_rows,
         'compute_ms_per_frame': round(compute_dt * 1e3, 3),
+        'pipelined_devput_ms_per_frame': round(
+            pipelined_devput_dt * 1e3, 3),
+        'pipelined_jitid_ms_per_frame': round(pipelined_jitid_dt * 1e3, 3),
         'streams4_ms_per_frame': round(stream_dt * 1e3, 3),
         'streams4_fps': round(1.0 / stream_dt, 1),
         'tracking_only_ms_per_frame': round(track_dt * 1e3, 3),

@@ -39,6 +39,14 @@ class LIFusionConfig:
     DeConv_Reduce: Tuple[int, ...] = (16, 16, 16, 16)
     DeConv_Kernels: Tuple[int, ...] = (2, 4, 8, 16)
     DeConv_Strides: Tuple[int, ...] = (2, 4, 8, 16)
+    # eval-only fused pyramid->gather: never materialize the full-res
+    # fused image map (it exists solely to be bilinearly sampled at the
+    # projected points, reference backbone.py:194-195); gather per-level
+    # tap-major deconv outputs at the four bilinear corners and run the
+    # 1x1 conv + BN(running stats) + ReLU on the gathered rows.  No
+    # reference counterpart — identical math to feature_gather(map, xy)
+    # up to float reassociation; tests pin fused == plain.
+    FUSED_PYRAMID: bool = True
 
 
 @dataclass(frozen=True)

@@ -147,13 +147,20 @@ class PointNet2MSG(nn.Module):
                 train)
 
         if use_fusion:
-            img_full = ImagePyramidFusion(
+            pyramid = ImagePyramidFusion(
                 reduce_channels=li.DeConv_Reduce,
                 kernels=li.DeConv_Kernels,
                 out_channels=li.IMG_FEATURES_CHANNEL // 4,
                 dtype=dtype,
-                name='img_pyramid')(img_levels, train=train)
-            img_pts_full = feature_gather(img_full, xy)
+                name='img_pyramid')
+            if li.FUSED_PYRAMID and not train:
+                # eval: sample the pyramid at the points directly — the
+                # full-res fused map is never materialized (config.py
+                # LIFusionConfig.FUSED_PYRAMID)
+                img_pts_full = pyramid(img_levels, train=False, xy=xy)
+            else:
+                img_full = pyramid(img_levels, train=train)
+                img_pts_full = feature_gather(img_full, xy)
             l_features[0] = AttentionFusion(
                 point_channels=li.IMG_FEATURES_CHANNEL,
                 out_channels=li.IMG_FEATURES_CHANNEL,

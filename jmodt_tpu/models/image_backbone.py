@@ -31,6 +31,39 @@ class BasicBlock(nn.Module):
         return x
 
 
+def _bilinear_corners(h: int, w: int, xy: jnp.ndarray):
+    """Corner indices, in-map masks and blend weights of a grid_sample
+    (align_corners=True, padding_mode='zeros') at full-res size (h, w).
+
+    padding_mode='zeros' (the reference grid_sample default): weights come
+    from the UNCLAMPED floor, and each of the four taps contributes zero
+    when its pixel lies outside the map — clamping before the weight
+    computation would EXTRAPOLATE (weights far outside [0, 1]) for points
+    that project outside the image instead of fading them to zero.
+
+    Returns ((u0, u1), (v0, v1), (in_u0, in_u1), (in_v0, in_v1), au, av);
+    u/v are clamped int32, au/av float32 with a trailing channel axis.
+    """
+    # align_corners=True: -1 -> 0, +1 -> size-1
+    u = (xy[..., 0] + 1.0) * 0.5 * (w - 1)
+    v = (xy[..., 1] + 1.0) * 0.5 * (h - 1)
+    u0f = jnp.floor(u)
+    v0f = jnp.floor(v)
+    au = (u - u0f)[..., None]
+    av = (v - v0f)[..., None]
+
+    def clampi(x, hi):
+        return jnp.clip(x, 0, hi).astype(jnp.int32)
+
+    uu = (clampi(u0f, w - 1), clampi(u0f + 1, w - 1))
+    vv = (clampi(v0f, h - 1), clampi(v0f + 1, h - 1))
+    inu = ((u0f >= 0) & (u0f <= w - 1),
+           (u0f + 1 >= 0) & (u0f + 1 <= w - 1))
+    inv = ((v0f >= 0) & (v0f <= h - 1),
+           (v0f + 1 >= 0) & (v0f + 1 <= h - 1))
+    return uu, vv, inu, inv, au, av
+
+
 def feature_gather(feature_map: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sampling of image features at projected point locations —
     `F.grid_sample(..., align_corners=True)` (reference feature_gather,
@@ -42,30 +75,12 @@ def feature_gather(feature_map: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     :return: (B, N, C)
     """
     b, h, w, c = feature_map.shape
-    # align_corners=True: -1 -> 0, +1 -> size-1
-    u = (xy[..., 0] + 1.0) * 0.5 * (w - 1)
-    v = (xy[..., 1] + 1.0) * 0.5 * (h - 1)
-    # padding_mode='zeros' (the reference grid_sample default): weights come
-    # from the UNCLAMPED floor, and each of the four taps contributes zero
-    # when its pixel lies outside the map — clamping before the weight
-    # computation would EXTRAPOLATE (weights far outside [0, 1]) for points
-    # that project outside the image instead of fading them to zero
-    u0f = jnp.floor(u)
-    v0f = jnp.floor(v)
+    (u0i, u1i), (v0i, v1i), (in_u0, in_u1), (in_v0, in_v1), au, av = \
+        _bilinear_corners(h, w, xy)
     # interpolation weights in the feature dtype: keeps bf16 feature maps
     # bf16 through the blend instead of promoting every gather to f32
-    au = (u - u0f)[..., None].astype(feature_map.dtype)
-    av = (v - v0f)[..., None].astype(feature_map.dtype)
-
-    def clampi(x, hi):
-        return jnp.clip(x, 0, hi).astype(jnp.int32)
-
-    u0i, u1i = clampi(u0f, w - 1), clampi(u0f + 1, w - 1)
-    v0i, v1i = clampi(v0f, h - 1), clampi(v0f + 1, h - 1)
-    in_u0 = (u0f >= 0) & (u0f <= w - 1)
-    in_u1 = (u0f + 1 >= 0) & (u0f + 1 <= w - 1)
-    in_v0 = (v0f >= 0) & (v0f <= h - 1)
-    in_v1 = (v0f + 1 >= 0) & (v0f + 1 <= h - 1)
+    au = au.astype(feature_map.dtype)
+    av = av.astype(feature_map.dtype)
 
     flat = feature_map.reshape(b, h * w, c)
 
@@ -96,7 +111,11 @@ class NonOverlapDeconv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, flatten_taps: bool = False):
+        """`flatten_taps=True` skips the depth-to-space transpose and
+        returns the tap-major table (B, H*W*k*k, r) whose row for full-res
+        pixel (y, x) is ((y//k)*W + x//k)*k*k + (y%k)*k + (x%k) — the
+        fused-pyramid gather path consumes it directly."""
         k, r = self.kernel, self.features
         b, h, w, c = x.shape
         kern = self.param('kernel', nn.initializers.lecun_normal(),
@@ -109,6 +128,8 @@ class NonOverlapDeconv(nn.Module):
         wmat = jnp.transpose(kern[::-1, ::-1], (2, 0, 1, 3)).reshape(
             c, k * k * r)
         y = (x.reshape(b * h * w, c).astype(cdt) @ wmat.astype(cdt))
+        if flatten_taps:
+            return (y.reshape(b, h * w * k * k, r) + bias.astype(cdt))
         y = y.reshape(b, h, w, k, k, r)
         y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(b, h * k, w * k, r)
         return y + bias.astype(cdt)
@@ -118,21 +139,83 @@ class ImagePyramidFusion(nn.Module):
     """DeConv each level back to full resolution, concat, 1x1 conv + BN + ReLU
     (reference backbone.py:130-139, 187-196).  The deconvs are
     NonOverlapDeconv (kernel == stride in every config), a matmul
-    formulation of the same math."""
+    formulation of the same math.
+
+    With `xy` given (eval only), the full-resolution map is never
+    materialized: the fused map exists solely to be bilinearly sampled at
+    the projected point locations (reference backbone.py:194-195), so each
+    level keeps its tap-major matmul output (B, H*W*k*k, r) in HBM and the
+    four bilinear corners gather per-level rows directly; the 1x1 conv, BN
+    (running stats) and ReLU then apply to the 4*N gathered rows instead
+    of 384x1280 pixels.  relu(BN(.)) runs per PIXEL before the bilinear
+    blend and out-of-map corners contribute zero AFTER the relu — exactly
+    feature_gather(full_map, xy).  Parameter trees are identical in both
+    modes (same submodules, same call order)."""
     reduce_channels: Sequence[int]
     kernels: Sequence[int]
     out_channels: int
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, img_levels, train: bool = False):
-        ups = []
+    def __call__(self, img_levels, train: bool = False, xy=None):
+        if xy is None:
+            ups = []
+            for i, feat in enumerate(img_levels):
+                up = NonOverlapDeconv(self.reduce_channels[i],
+                                      self.kernels[i],
+                                      dtype=self.dtype)(feat)
+                ups.append(up)
+            x = jnp.concatenate(ups, axis=-1)
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
+            return nn.relu(x)
+
+        # fused gather path (eval: BN must use running stats — batch-stat
+        # collection is defined over the full map, which this path skips)
+        assert not train, 'fused pyramid gather is an eval-only path'
+        tabs = []
         for i, feat in enumerate(img_levels):
-            up = NonOverlapDeconv(self.reduce_channels[i], self.kernels[i],
-                                  dtype=self.dtype)(feat)
-            ups.append(up)
-        x = jnp.concatenate(ups, axis=-1)
-        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype)(x)
-        return nn.relu(x)
+            tabs.append(NonOverlapDeconv(
+                self.reduce_channels[i], self.kernels[i],
+                dtype=self.dtype)(feat, flatten_taps=True))
+        conv = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)
+        bn = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype)
+
+        k0 = self.kernels[0]
+        _, h0, w0, _ = img_levels[0].shape
+        h, w = h0 * k0, w0 * k0      # full resolution
+        uu, vv, inu, inv, au, av = _bilinear_corners(h, w, xy)
+
+        rows = []
+        oks = []
+        for ci in range(2):
+            for cj in range(2):
+                vi, ui = vv[ci], uu[cj]
+                per = [((vi // k) * (w // k) + ui // k) * (k * k)
+                       + (vi % k) * k + (ui % k)
+                       for k in self.kernels]
+                rows.append(per)
+                oks.append(inv[ci] & inu[cj])
+
+        # one gather per level over all four corners (B, 4*N, r), then
+        # conv+BN+ReLU over the stacked corners in a single pass
+        per_level = []
+        for i, tab in enumerate(tabs):
+            idx = jnp.concatenate([r[i] for r in rows], axis=1)  # (B, 4N)
+            per_level.append(jnp.take_along_axis(
+                tab, idx[..., None], axis=1))
+        g = jnp.concatenate(per_level, axis=-1)          # (B, 4N, sum r)
+        b_, n4, cc = g.shape
+        x = conv(g.reshape(b_, n4, 1, cc))
+        x = nn.relu(bn(x))[:, :, 0, :]                   # (B, 4N, out)
+        n = xy.shape[1]
+        f = x.reshape(b_, 4, n, self.out_channels)
+        ok = jnp.stack(oks, axis=1)[..., None].astype(f.dtype)
+        f = f * ok
+        au = au.astype(f.dtype)
+        av = av.astype(f.dtype)
+        top = f[:, 0] * (1 - au) + f[:, 1] * au
+        bot = f[:, 2] * (1 - au) + f[:, 3] * au
+        return top * (1 - av) + bot * av

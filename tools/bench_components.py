@@ -236,6 +236,13 @@ def main():
                                                  train=False))
     res['img_pyramid'] = slope_time(fn, [pvars] + img_levels, it) * 1e3
 
+    # fused pyramid->gather (cfg.LI_FUSION.FUSED_PYRAMID eval path):
+    # replaces img_pyramid + feature_gather_16384 in the frame
+    fn = jax.jit(lambda v, a, b, c, d, x: pyr.apply(
+        v, [a, b, c, d], train=False, xy=x))
+    res['img_pyramid_fused_gather'] = slope_time(
+        fn, [pvars] + img_levels + [xy], it) * 1e3
+
     full_img = jax.random.normal(
         key, (1, 384, 1280, li.IMG_FEATURES_CHANNEL // 4))
     fn = jax.jit(lambda im, x: feature_gather(im, x))
