@@ -108,6 +108,13 @@ class RPNConfig:
     # 53 ms vs 84 ms for the whole detect+track frame.  Non-TPU backends
     # automatically fall back to the scan (ops/sampling.py).
     USE_PALLAS_FPS: bool = True
+    # fused gather->MLP->max eval path (ops/fused_sa.py) for the MSG SA
+    # levels whose input cloud is small enough that the one-hot MXU gather
+    # is a few GFLOP (levels 1-3; level 0's N=16384 stays on the plain
+    # path — there the one-hot contraction would burn ~300 GFLOP, see
+    # CLAUDE.md round-3 analysis).  Eval-only; train takes the plain path
+    # because the backbone uses BN.
+    FUSED_SA: bool = True
 
 
 @dataclass(frozen=True)

@@ -107,6 +107,11 @@ class PointNet2MSG(nn.Module):
                   if cfg.RPN.REMAT else FPModule)
 
         for k in range(len(sa_cfg.NPOINTS)):
+            # fused eval path only where the one-hot gather is cheap: the
+            # contraction is O(M*S*N*C1), so level 0 (N=16384) stays on
+            # the plain path while levels 1-3 (N<=4096) fuse
+            fused_k = (cfg.RPN.FUSED_SA and self.use_xyz
+                       and l_xyz[k].shape[1] <= 8192)
             li_xyz, li_feat, li_idx = sa_cls(
                 npoint=sa_cfg.NPOINTS[k],
                 radii=sa_cfg.RADIUS[k],
@@ -116,6 +121,7 @@ class PointNet2MSG(nn.Module):
                 use_bn=cfg.RPN.USE_BN,
                 dtype=dtype,
                 use_pallas_fps=cfg.RPN.USE_PALLAS_FPS,
+                fused_eval=fused_k,
                 name=f'sa_{k}')(l_xyz[k], l_features[k], train)
 
             if use_fusion:

@@ -57,27 +57,35 @@ class SAModuleMSG(nn.Module):
         cdt = self.dtype or xyz.dtype
 
         # Fused fast path: BN-folded gather->MLP->max (ops/fused_sa.py,
-        # Pallas VMEM kernel on TPU).  Init runs the plain path below so the
-        # param tree is identical; applies only to the single-scale use_xyz
-        # levels (the RCNN head — where B=num_rois makes the unfused
-        # grouped intermediates cost ~30x their FLOPs in HBM traffic).
-        # Train is eligible only without BN (no batch statistics to update);
-        # there the XLA form runs — same math, differentiable by autodiff —
-        # since the Pallas kernel defines no VJP.  The fused path always
-        # computes f32 even under cfg.DTYPE=bfloat16: its win is HBM
-        # traffic, not dtype (bf16 measured a wash end-to-end, CLAUDE.md),
-        # and the one-hot MXU gather must stay exact.
+        # Pallas VMEM kernel on TPU), one fused kernel per MSG scale.
+        # Used by the RCNN head (single-scale, where B=num_rois makes the
+        # unfused grouped intermediates cost ~30x their FLOPs in HBM
+        # traffic) and by the RPN backbone's multi-scale levels 1-3 (small
+        # N, so the one-hot MXU gather is a few GFLOP while the unfused
+        # chain of tiny grouped ops is latency-bound — measured 2-4 ms per
+        # level standalone on the v5e).  Init runs the plain path below so
+        # the param tree is identical.  Train is eligible only without BN
+        # (no batch statistics to update); there the XLA form runs — same
+        # math, differentiable by autodiff — since the Pallas kernel
+        # defines no VJP.  The fused path always computes f32 even under
+        # cfg.DTYPE=bfloat16: its win is HBM traffic, not dtype (bf16
+        # measured a wash end-to-end, CLAUDE.md), and the one-hot MXU
+        # gather must stay exact.
         if (self.fused_eval and not self.is_initializing()
                 and (not train or not self.use_bn)
-                and self.npoint is not None and features is not None
-                and self.use_xyz and len(self.mlps) == 1):
-            nbr = ball_query(self.radii[0], self.nsamples[0], xyz, new_xyz)
-            folded = fold_pointwise_mlp(
-                self.variables['params']['mlp_0'],
-                self.variables['batch_stats']['mlp_0']
-                if self.use_bn else None)
-            out = fused_sa_eval(xyz, features, new_xyz, nbr, folded,
-                                use_pallas=False if train else None)
+                and self.npoint is not None and self.use_xyz):
+            outs = []
+            for i, (radius, nsample) in enumerate(
+                    zip(self.radii, self.nsamples)):
+                nbr = ball_query(radius, nsample, xyz, new_xyz)
+                folded = fold_pointwise_mlp(
+                    self.variables['params'][f'mlp_{i}'],
+                    self.variables['batch_stats'][f'mlp_{i}']
+                    if self.use_bn else None)
+                outs.append(fused_sa_eval(
+                    xyz, features, new_xyz, nbr, folded,
+                    use_pallas=False if train else None))
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, -1)
             return new_xyz, out, idx
         outs = []
         for i, (radius, nsample, mlp) in enumerate(

@@ -63,21 +63,24 @@ def fold_pointwise_mlp(params: dict, batch_stats: Optional[dict]
     return tuple(out)
 
 
-def fused_sa_eval(xyz: jnp.ndarray, feats: jnp.ndarray,
+def fused_sa_eval(xyz: jnp.ndarray, feats: Optional[jnp.ndarray],
                   new_xyz: jnp.ndarray, idx: jnp.ndarray,
                   layers: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
                   use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """One single-scale use_xyz=True SA level on folded eval weights.
 
     :param xyz: (B, N, 3) f32 point coords
-    :param feats: (B, N, C) point features
+    :param feats: (B, N, C) point features, or None (xyz-only level, e.g.
+        the RPN backbone's first SA level — reference
+        pointnet2_modules.py:356-390 with features=None)
     :param new_xyz: (B, M, 3) f32 centers
     :param idx: (B, M, S) int32 ball-query indices
     :param layers: folded (W, b) per MLP layer, W1 (3+C, C1) first
     :return: (B, M, C_last) f32
     """
     (w1, b1), rest = layers[0], layers[1:]
-    catf = jnp.concatenate([xyz, feats.astype(jnp.float32)], axis=-1)
+    catf = (xyz if feats is None
+            else jnp.concatenate([xyz, feats.astype(jnp.float32)], axis=-1))
     feats1 = catf @ w1                       # (B, N, C1) — pre-gather Dense
     cxw = new_xyz @ w1[:3]                   # (B, M, C1) center correction
     if use_pallas is None:

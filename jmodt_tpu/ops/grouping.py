@@ -63,9 +63,17 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
     def per_block(q_block):  # (B, chunk, 3)
         q8 = jnp.pad(q_block, ((0, 0), (0, 0), (0, 5)))
         q_sq = jnp.sum(q_block * q_block, axis=-1)       # (B, chunk)
+        # precision=HIGHEST is REQUIRED for correctness, not a tuning
+        # choice: at default precision the TPU MXU truncates f32 operands
+        # to bf16, and the q.p cross term then carries absolute error
+        # ~eps_bf16 * |q||p| — measured up to ~32 on KITTI-scale
+        # coordinates (round-4 on-chip diagnostic) against r^2 gates as
+        # small as 0.01.  HIGHEST (multi-pass) restores f32-accurate
+        # products at negligible cost (the contraction dim is only 8).
         d2 = (q_sq[..., None] + p_sq[:, None, :]
               - 2.0 * jax.lax.dot_general(
                   q8, pts8, (((2,), (2,)), ((0,), (0,))),
+                  precision=jax.lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32))   # (B, chunk, N)
         key = jnp.where(d2 < r2, col, n)
         # nsample smallest keys = first hits in point order.  top_k runs on

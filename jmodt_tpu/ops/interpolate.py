@@ -47,8 +47,14 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048,
         def per_block(u_block):
             u8 = jnp.pad(u_block, ((0, 0), (0, 5)))
             u_sq = jnp.sum(u_block * u_block, axis=-1)
+            # HIGHEST precision is required: the MXU's default bf16
+            # truncation puts ~unit-scale absolute error on the cross
+            # term (see ops/grouping.py::ball_query), which reorders and
+            # even swaps 3-NN sets on chip (round-4 on-chip diagnostic:
+            # 15/128 wrong NN sets at default, 0 at HIGHEST)
             d2 = (u_sq[:, None] + k_sq[None, :]
                   - 2.0 * jnp.dot(u8, k8.T,
+                                  precision=jax.lax.Precision.HIGHEST,
                                   preferred_element_type=jnp.float32))
             d2 = jnp.maximum(d2, 0.0)  # guard tiny negatives from rounding
             neg, idx = jax.lax.top_k(-d2, 3)

@@ -35,12 +35,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 _ROWS_TARGET = 512  # TMI * S rows per inner sub-tile
+# cap on the (TMI, S, N) one-hot block built per sub-tile: at the RPN
+# backbone's N=4096 levels the 512-row target alone would make it an 8 MB
+# f32 intermediate — over half of VMEM once the (1, N, C1) feature table
+# and the matmul operands are resident
+_ONEHOT_BYTES = 2 * 1024 * 1024
 
 
-def _kernel(f1_ref, idx_ref, cxw_ref, b1_ref, *rest, tmi: int, n: int):
+def _kernel(f1_hi_ref, f1_lo_ref, idx_ref, cxw_ref, b1_ref, *rest,
+            tmi: int, n: int):
     """One (roi, center-tile) program.
 
-    f1_ref: (1, N, C1) projected per-point features (catf @ W1 folded)
+    f1_hi_ref/f1_lo_ref: (1, N, C1) bf16 hi/lo split of the projected
+        per-point features (catf @ W1 folded): hi = bf16(f1),
+        lo = bf16(f1 - hi).  The one-hot gather dot must reproduce f1
+        VALUES, not bf16 truncations of them — at default precision the
+        MXU truncates an f32 operand to bf16 (measured ~1% output error
+        on chip, round-4 verify_pallas), and Precision.HIGHEST costs 6
+        passes.  Because the one-hot operand is exact in bf16 (rows of
+        0/1), gathering hi and lo separately with two full-rate bf16
+        passes reconstructs f1 to ~2^-17 relative — f32-class accuracy
+        at 2x the default-dot cost instead of 6x.
     idx_ref: (1, TM, S) int32 neighbor indices into N
     cxw_ref: (1, TM, C1) center correction (new_xyz @ W1[:3] folded)
     b1_ref:  (1, C1) folded layer-1 bias
@@ -52,9 +67,12 @@ def _kernel(f1_ref, idx_ref, cxw_ref, b1_ref, *rest, tmi: int, n: int):
     for ti in range(tm // tmi):
         idx_sub = idx_ref[0, ti * tmi:(ti + 1) * tmi, :]        # (TMI, S)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (tmi, s, n), 2)
-                  == idx_sub[:, :, None]).astype(jnp.float32)
-        g = jnp.dot(onehot.reshape(tmi * s, n), f1_ref[0],
-                    preferred_element_type=jnp.float32)          # (TMI*S, C1)
+                  == idx_sub[:, :, None]).astype(jnp.bfloat16
+                                                 ).reshape(tmi * s, n)
+        g = (jnp.dot(onehot, f1_hi_ref[0],
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(onehot, f1_lo_ref[0],
+                       preferred_element_type=jnp.float32))      # (TMI*S, C1)
         h = g + b1_ref[:]                                        # (1, C1) bc
         h = (h.reshape(tmi, s, -1)
              - cxw_ref[0, ti * tmi:(ti + 1) * tmi, :][:, None, :])
@@ -86,9 +104,13 @@ def grouped_gather_mlp_max(feats1: jnp.ndarray, idx: jnp.ndarray,
     _, m, s = idx.shape
     tm = m if m <= 128 else 128
     assert m % tm == 0, (m, tm)
-    tmi = max(1, min(tm, _ROWS_TARGET // s))
+    # one-hot block is built in bf16 (2 bytes) — see _kernel docstring
+    tmi = max(1, min(tm, _ROWS_TARGET // s, _ONEHOT_BYTES // (s * n * 2)))
     while tm % tmi:
         tmi -= 1
+
+    f1_hi = feats1.astype(jnp.bfloat16)
+    f1_lo = (feats1 - f1_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     flat = []
     for w, bias in layers:
@@ -98,6 +120,7 @@ def grouped_gather_mlp_max(feats1: jnp.ndarray, idx: jnp.ndarray,
     kernel = functools.partial(_kernel, tmi=tmi, n=n)
     grid = (b, m // tm)
     in_specs = [
+        pl.BlockSpec((1, n, c1), lambda bb, t: (bb, 0, 0)),
         pl.BlockSpec((1, n, c1), lambda bb, t: (bb, 0, 0)),
         pl.BlockSpec((1, tm, s), lambda bb, t: (bb, t, 0)),
         pl.BlockSpec((1, tm, c1), lambda bb, t: (bb, t, 0)),
@@ -110,5 +133,5 @@ def grouped_gather_mlp_max(feats1: jnp.ndarray, idx: jnp.ndarray,
         out_specs=pl.BlockSpec((1, tm, c_out), lambda bb, t: (bb, t, 0)),
         out_shape=jax.ShapeDtypeStruct((b, m, c_out), jnp.float32),
         interpret=interpret,
-    )(feats1, idx, cxw, b1.reshape(1, -1), *flat)
+    )(f1_hi, f1_lo, idx, cxw, b1.reshape(1, -1), *flat)
     return out

@@ -128,11 +128,19 @@ def _wrap(theta):
 
 def _kalman_predict(mean, cov, steps, mats: KalmanMats):
     """Advance `steps` (traced int >= 1) constant-velocity steps for all
-    slots (reference kalman.py:85-95)."""
+    slots (reference kalman.py:85-95).
+
+    All Kalman matmuls run at HIGHEST matmul precision: the MXU's default
+    bf16 operand truncation puts ~0.4% relative error on KITTI-scale
+    state coordinates (round-4 on-chip diagnostic), which drifts the
+    covariance recursion and flips marginal gating decisions vs the host
+    tracker's exact f32.  The matrices are 16x8-padded — multi-pass cost
+    is noise."""
     def body(_, mc):
-        m, c = mc
-        m = m @ mats.f.T
-        c = jnp.matmul(jnp.matmul(mats.f, c), mats.f.T) + mats.q
+        with jax.default_matmul_precision('highest'):
+            m, c = mc
+            m = m @ mats.f.T
+            c = jnp.matmul(jnp.matmul(mats.f, c), mats.f.T) + mats.q
         return m, c
 
     mean, cov = jax.lax.fori_loop(0, jnp.maximum(steps, 1), body,
@@ -157,12 +165,15 @@ def _kalman_update(mean, cov, z7, apply_mask, mats: KalmanMats):
     z = jnp.zeros((z7.shape[0], _DIM_Z), z7.dtype
                   ).at[:, :7].set(z7).at[:, 6].set(z6)
 
-    y = z - mean @ mats.h.T                                   # (T, 8)
-    s = jnp.matmul(jnp.matmul(mats.h, cov), mats.h.T) + mats.r
-    k = jnp.matmul(jnp.matmul(cov, mats.h.T), jnp.linalg.inv(s))
-    new_mean = mean + jnp.matmul(k, y[..., None])[..., 0]
-    # cov - K H cov (avoids an embedded identity-matrix matmul operand)
-    new_cov = cov - jnp.matmul(k, jnp.matmul(mats.h, cov))
+    # HIGHEST precision: see _kalman_predict — default MXU bf16
+    # truncation corrupts the innovation/covariance math on chip
+    with jax.default_matmul_precision('highest'):
+        y = z - mean @ mats.h.T                               # (T, 8)
+        s = jnp.matmul(jnp.matmul(mats.h, cov), mats.h.T) + mats.r
+        k = jnp.matmul(jnp.matmul(cov, mats.h.T), jnp.linalg.inv(s))
+        new_mean = mean + jnp.matmul(k, y[..., None])[..., 0]
+        # cov - K H cov (avoids an embedded identity-matrix matmul operand)
+        new_cov = cov - jnp.matmul(k, jnp.matmul(mats.h, cov))
     new_mean = new_mean.at[:, 6].set(_wrap(new_mean[:, 6]))
     m = apply_mask[:, None]
     return (jnp.where(m, new_mean, mean),

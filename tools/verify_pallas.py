@@ -105,15 +105,36 @@ def main():
 
     # ---- fused three-NN (the FP level-0 shape, with M padding) ----------
     def three_nn_check():
+        # NOT an index-exact check: the Pallas kernel computes d2 by
+        # direct subtract/square (VPU) while the XLA twin uses the matmul
+        # identity — both f32-accurate (the twin at HIGHEST precision
+        # since the round-4 fix), but rounded differently, so near-tied
+        # neighbors can legitimately swap rank or even swap a set-boundary
+        # tie.  The consumer (three_interpolate, inverse-distance
+        # weights) is tie-invariant, so validate each path against a HOST
+        # f64 oracle: every chosen neighbor's true distance must be
+        # within a rounding band of the true 3rd-nearest, and the
+        # reported distances must match the true ones.
         u = rng.randn(1, 2048, 3).astype(np.float32) * 10
         k = rng.randn(1, 1000, 3).astype(np.float32) * 10
+        d_true = np.sqrt(((u[0][:, None].astype(np.float64)
+                           - k[0][None].astype(np.float64)) ** 2).sum(-1))
+        third = np.sort(d_true, axis=1)[:, 2]
+
+        def oracle_check(d, i, label):
+            d, i = np.asarray(d)[0], np.asarray(i)[0]
+            chosen = np.take_along_axis(d_true, i.astype(np.int64), axis=1)
+            worst = (chosen - third[:, None]).max()
+            assert worst <= 1e-3, f'{label}: non-3NN pick, slack {worst}'
+            np.testing.assert_allclose(d, chosen, atol=1e-3,
+                                       err_msg=label)
+
         d_ref, i_ref = jax.jit(
             lambda a, b: three_nn(a, b, use_pallas=False))(u, k)
         d_p, i_p = jax.jit(lambda a, b: three_nn_pallas(
             a, b, interpret=interpret))(u, k)
-        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_ref))
-        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_ref),
-                                   atol=1e-3)
+        oracle_check(d_ref, i_ref, 'xla_twin')
+        oracle_check(d_p, i_p, 'pallas')
 
     # ---- grouped gather+MLP+max (the RCNN sa_0 tile geometry) -----------
     def grouped_mlp():
@@ -131,9 +152,8 @@ def main():
             (jax.random.normal(ks[2 * i], w, jnp.float32) * 0.1,
              jax.random.normal(ks[2 * i + 1], (w[1],), jnp.float32) * 0.1)
             for i, w in enumerate(widths))
-        ref = jax.jit(lambda *a: fused_sa_eval(*a, use_pallas=False))(
+        twin = jax.jit(lambda *a: fused_sa_eval(*a, use_pallas=False))(
             xyz, feats, new_xyz, nbr, layers)
-        (w1, b1) = layers[0]
 
         def pal(xyz, feats, new_xyz, nbr, layers):
             (w1, b1), rest = layers[0], layers[1:]
@@ -143,9 +163,64 @@ def main():
                                           interpret=interpret)
 
         out = jax.jit(pal)(xyz, feats, new_xyz, nbr, layers)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=2e-4, atol=2e-4)
 
+        # Parity criterion: NOT kernel == twin elementwise.  On chip both
+        # paths run their matmuls at default MXU precision (bf16 operand
+        # truncation), so each carries ~1e-2 noise vs the exact f64 math
+        # and they legitimately disagree with each other at that level
+        # (round-4 isolation: Mosaic dot == XLA dot bit-exact on equal
+        # inputs; the divergence is rounding-boundary amplification of the
+        # kernel's 3e-5-exact hi/lo gather).  A real Mosaic BUG (wrong
+        # index, tile misalignment) shows up as error far above the
+        # twin's own noise floor — so compare BOTH to a host f64 oracle
+        # and require the kernel's error in the same class as the twin's.
+        catf64 = np.concatenate([np.asarray(xyz), np.asarray(feats)],
+                                axis=-1).astype(np.float64)
+        h64 = np.take_along_axis(
+            catf64, np.asarray(nbr).reshape(2, -1, 1).astype(np.int64),
+            axis=1).reshape(2, 128, 64, 3 + 128)
+        h64 -= np.concatenate(
+            [np.asarray(new_xyz), np.zeros((2, 128, 128))],
+            axis=-1).astype(np.float64)[:, :, None, :]
+        for li, (w, bias) in enumerate(layers):
+            h64 = np.maximum(
+                h64 @ np.asarray(w, np.float64)
+                + np.asarray(bias, np.float64), 0.0)
+        oracle = h64.max(axis=2)
+        err_twin = np.abs(np.asarray(twin) - oracle).max()
+        err_kern = np.abs(np.asarray(out) - oracle).max()
+        assert err_kern <= max(2e-4, 3.0 * err_twin), \
+            f'kernel err {err_kern} vs twin err {err_twin}'
+
+    # ---- ball query on-chip numerics (XLA op, host-f64 oracle) ----------
+    # guards the round-4 precision bug class: at default MXU precision the
+    # matmul-identity d2 carried ~unit-scale error against r^2 gates as
+    # small as 0.01, silently corrupting every SA neighborhood on chip
+    def ball_query_oracle():
+        xyz = rng.randn(1, 2048, 3).astype(np.float32) * 15
+        ctr = xyz[:, ::16].copy()                       # (1, 128, 3)
+        r, s = 1.5, 16
+        idx = np.asarray(jax.jit(
+            lambda a, b: ball_query(r, s, a, b))(xyz, ctr))[0]
+        d_true = np.sqrt(((ctr[0][:, None].astype(np.float64)
+                           - xyz[0][None].astype(np.float64)) ** 2
+                          ).sum(-1))                    # (128, 2048)
+        tol = 1e-3
+        for m in range(idx.shape[0]):
+            row = idx[m]
+            picked = d_true[m, row]
+            assert (picked <= r + tol).all(), \
+                f'center {m}: picked point {picked.max() - r} beyond r'
+            # first-s-in-index-order semantics: every unpicked point
+            # strictly inside (r - tol) and with index below the row's
+            # max must appear, unless the row already holds s distinct
+            distinct = len(set(row.tolist()))
+            if distinct < s:
+                inside = np.where(d_true[m] < r - tol)[0]
+                missing = set(inside.tolist()) - set(row.tolist())
+                assert not missing, f'center {m}: missed {missing}'
+
+    check('ball_query_2048x128_oracle', ball_query_oracle)
     check('fps_single_4096_1024', fps_single)
     check('fps_batched_100x512_128', fps_batched)
     check('fps_batched_tilecap_8x16384_64', fps_batched_tilecap)
