@@ -331,6 +331,26 @@ def main():
     res['detection_step'] = slope_time(
         det, [variables, pts, jnp.asarray(f0['img']), xy], it) * 1e3
 
+    # ---- detection-step-level A/B of the round-4 eval fusions.  The
+    # standalone component rows above don't attribute marginal cost
+    # inside the fused program (XLA schedules/fuses across components:
+    # their sum exceeds detection_step), so config knobs are judged by
+    # flipping them on the WHOLE program.  Param trees are identical
+    # across these flips — `variables` is shared. ----
+    cfg_nofsa = dataclasses.replace(
+        cfg, RPN=dataclasses.replace(cfg.RPN, FUSED_SA=False))
+    det_nofsa = make_detection_step(cfg_nofsa, PointRCNN(cfg_nofsa,
+                                                         mode='EVAL'))
+    res['detection_step_rpn_unfused'] = slope_time(
+        det_nofsa, [variables, pts, jnp.asarray(f0['img']), xy], it) * 1e3
+    cfg_nofp = dataclasses.replace(
+        cfg, LI_FUSION=dataclasses.replace(cfg.LI_FUSION,
+                                           FUSED_PYRAMID=False))
+    det_nofp = make_detection_step(cfg_nofp, PointRCNN(cfg_nofp,
+                                                       mode='EVAL'))
+    res['detection_step_full_pyramid'] = slope_time(
+        det_nofp, [variables, pts, jnp.asarray(f0['img']), xy], it) * 1e3
+
     # ---- batched detection step (4 frames per program: the lockstep
     # multi-stream / offline-eval condition; near-1x cost means the
     # per-frame time is latency- not FLOP-bound) ----
