@@ -189,6 +189,76 @@ def pyramid_fused_gather(levels, params, xy):
     return bilinear_from_corners(f, au, av)
 
 
+def _d2s_kernel(y_ref, o_ref, *, k, r, w0):
+    """One low-res row of NonOverlapDeconv depth-to-space: (w0, k*k*r)
+    tap-major -> (k, w0*k*r) full-res rows.  The (w0, k) swap is a
+    sublane-only shuffle (the lane dim k*r never moves), which the VPU
+    does at copy speed — the hypothesis under test is that XLA's 6-D
+    transpose lowering of the same move is what costs img_pyramid ~5 ms."""
+    y = y_ref[0].reshape(w0, k, k * r)
+    o_ref[0] = jnp.transpose(y, (1, 0, 2)).reshape(k, w0 * k * r)
+
+
+def pallas_d2s(y2, k, r, h0, w0, interpret=False):
+    """(1, h0*w0, k*k*r) tap-major -> (1, h0*k, w0*k*r) full-res rows."""
+    from jax.experimental import pallas as pl
+    kern = functools.partial(_d2s_kernel, k=k, r=r, w0=w0)
+    return pl.pallas_call(
+        kern,
+        grid=(h0,),
+        in_specs=[pl.BlockSpec((1, w0, k * k * r), lambda i: (0, i, 0))],
+        out_specs=pl.BlockSpec((1, k, w0 * k * r), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, h0 * k, w0 * k * r),
+                                       jnp.float32),
+        interpret=interpret,
+    )(y2)
+
+
+def pyramid_pallas_d2s(levels, params, xy, interpret=False):
+    """Pallas depth-to-space per level + ONE wide 4-corner gather of the
+    pre-conv concat map + conv/BN/ReLU on the 4N gathered rows only."""
+    ups = []
+    for i in range(4):
+        x, kern = levels[i], params[f'w{i}']
+        k, _, c, r = kern.shape
+        b, h0, w0, _ = x.shape
+        y = x.reshape(b * h0 * w0, c) @ wmat(kern)
+        fr = pallas_d2s(y.reshape(1, h0 * w0, k * k * r), k, r, h0, w0,
+                        interpret=interpret)
+        ups.append(fr.reshape(1, H * W, r) + params[f'b{i}'])
+    flat = jnp.concatenate(ups, axis=-1)             # (1, H*W, 4*REDUCE)
+
+    uu, vv, inu, inv, au, av = corner_data(xy, H, W)
+
+    def corner(vi, ui, ok):
+        g = jnp.take_along_axis(flat, (vi * W + ui)[..., None], axis=1)
+        g = bn_relu(g @ params['vw'] + params['vb'], params)
+        return g * ok[..., None].astype(g.dtype)
+
+    f = tuple(tuple(corner(vv[i], uu[j], inv[i] & inu[j])
+                    for j in range(2)) for i in range(2))
+    return bilinear_from_corners(f, au, av)
+
+
+def pyramid_gather_preconv(levels, params, xy):
+    """Materialize the PRE-conv concat map with the stock depth-to-space,
+    gather the four corners once (wide 64-ch rows), conv/BN/ReLU on the
+    4N rows.  Isolates 'one wide gather + row-conv' from the d2s form."""
+    ups = [deconv_base(levels[i], params[f'w{i}'], params[f'b{i}'])
+           for i in range(4)]
+    flat = jnp.concatenate(ups, axis=-1).reshape(1, H * W, 4 * REDUCE)
+    uu, vv, inu, inv, au, av = corner_data(xy, H, W)
+
+    def corner(vi, ui, ok):
+        g = jnp.take_along_axis(flat, (vi * W + ui)[..., None], axis=1)
+        g = bn_relu(g @ params['vw'] + params['vb'], params)
+        return g * ok[..., None].astype(g.dtype)
+
+    f = tuple(tuple(corner(vv[i], uu[j], inv[i] & inu[j])
+                    for j in range(2)) for i in range(2))
+    return bilinear_from_corners(f, au, av)
+
+
 # ---------------------------------------------------------------- driver
 
 
@@ -223,6 +293,9 @@ def main():
         'stack': jax.jit(functools.partial(pyramid_full,
                                            deconv=deconv_stack)),
         'fused_gather': jax.jit(pyramid_fused_gather),
+        'gather_preconv': jax.jit(pyramid_gather_preconv),
+        'pallas_d2s': jax.jit(functools.partial(
+            pyramid_pallas_d2s, interpret=not on_tpu)),
     }
     ref = np.asarray(variants['base'](levels, params, xy))
     out = {'metric': 'pyramid_variants', 'backend': jax.default_backend()}
