@@ -1,0 +1,108 @@
+"""Render LADDER_RESULTS.md from a synthetic_ladder run (VERDICT r3 #1).
+
+Parses the ladder's combined log (per-epoch `epoch N: train_loss=...`
+lines restart at 1 for each stage; `finetune=... epochs=...` headers mark
+stage boundaries) plus the final JSON line, and writes a markdown report
+with per-stage loss curves (downsampled), the final synthetic AP table,
+and the CLEAR-MOT numbers scraped from the eval section of the log.
+
+Usage: python tools/ladder_report.py --log output/ladder4.log \
+           --out LADDER_RESULTS.md [--title "round 4"]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+
+
+def parse(log_path: str):
+    stages = []          # list of (header, [(epoch, loss, secs)])
+    cur = None
+    final_json = None
+    eval_lines = []
+    in_eval = False
+    for line in open(log_path, errors='replace'):
+        m = re.search(r'finetune=(\S+) epochs=(\d+)', line)
+        if m:
+            cur = {'finetune': m.group(1) == 'True',
+                   'epochs': int(m.group(2)), 'hist': []}
+            stages.append(cur)
+            continue
+        m = re.search(r'epoch (\d+): train_loss=([\d.naif-]+) '
+                      r'\(([\d.]+)s', line)
+        if m and cur is not None:
+            cur['hist'].append((int(m.group(1)), float(m.group(2)),
+                                float(m.group(3))))
+            continue
+        if re.search(r'(AP@|Car AP|recall|MOTA|MOTP|eval|mostly|'
+                     r'fragment|id switch)', line, re.I):
+            eval_lines.append(line.rstrip('\n'))
+        s = line.strip()
+        if s.startswith('{') and '"mota"' in s:
+            try:
+                final_json = json.loads(s)
+            except ValueError:
+                pass
+    return stages, eval_lines, final_json
+
+
+def curve(hist, points=12):
+    if not hist:
+        return '(no epochs logged)'
+    step = max(1, len(hist) // points)
+    rows = hist[::step]
+    if rows[-1] != hist[-1]:
+        rows.append(hist[-1])
+    return ' '.join(f'{e}:{v:.2f}' for e, v, _ in rows)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--log', required=True)
+    ap.add_argument('--out', default='LADDER_RESULTS.md')
+    ap.add_argument('--title', default='')
+    args = ap.parse_args()
+
+    stages, eval_lines, final = parse(args.log)
+    names = ['stage 1 (lidar-only detector, from scratch)',
+             'stage 2 (LI-fusion, partial-restore bootstrap)',
+             'stage 3 (link/se finetune, trunk frozen)']
+    out = [f'# Synthetic-ladder results {args.title}'.rstrip(), '']
+    out += ['Full 3-stage train -> eval -> track ladder on the synthetic '
+            'KITTI-format tree (no real dataset in this image; reference '
+            'pipeline tools/train.py:50-144 -> tools/eval.py).  Loss '
+            'curves are `epoch:train_loss` samples.', '']
+    for i, st in enumerate(stages):
+        nm = names[i] if i < len(names) else f'stage {i + 1}'
+        out.append(f'## {nm} — {st["epochs"]} epochs')
+        out.append('')
+        hist = st['hist']
+        out.append(f'- curve: `{curve(hist)}`')
+        if hist:
+            t = sum(s for _, _, s in hist)
+            out.append(f'- final train_loss **{hist[-1][1]:.3f}** '
+                       f'({len(hist)} epochs logged, {t / 60:.1f} min)')
+        out.append('')
+    if final:
+        out.append('## Final evaluation (synthetic val split)')
+        out.append('')
+        out.append(f'- AP_3d moderate (R40): **{final["ap_3d_moderate"]}**')
+        out.append(f'- AP_bev moderate (R40): '
+                   f'**{final["ap_bev_moderate"]}**')
+        out.append(f'- MOTA: **{final["mota"]}**')
+        out.append('')
+    if eval_lines:
+        out.append('## Eval log extract')
+        out.append('')
+        out.append('```')
+        out += eval_lines[-60:]
+        out.append('```')
+    open(args.out, 'w').write('\n'.join(out) + '\n')
+    print(f'wrote {args.out} ({len(stages)} stages, '
+          f'final_json={"yes" if final else "MISSING"})')
+
+
+if __name__ == '__main__':
+    main()
