@@ -6,8 +6,15 @@ stage boundaries) plus the final JSON line, and writes a markdown report
 with per-stage loss curves (downsampled), the final synthetic AP table,
 and the CLEAR-MOT numbers scraped from the eval section of the log.
 
-Usage: python tools/ladder_report.py --log output/ladder4.log \
-           --out LADDER_RESULTS.md [--title "round 4"]
+Supervised runs (tools/ladder_supervisor.sh) append relaunch segments to
+the log: each resume re-prints the stage header and restarts epoch
+numbering at the restored epoch.  Segments with the same header whose
+epochs continue past 1 are merged into one stage (later lines win on
+duplicate epochs), and `--log` accepts several files concatenated in
+order (e.g. a pre-wedge log plus the supervised log).
+
+Usage: python tools/ladder_report.py --log output/ladder4_part1.log \
+           output/ladder4.log --out LADDER_RESULTS.md [--title "round 4"]
 """
 
 from __future__ import annotations
@@ -17,13 +24,18 @@ import json
 import re
 
 
-def parse(log_path: str):
-    stages = []          # list of (header, [(epoch, loss, secs)])
+def _iter_lines(log_paths):
+    for p in log_paths:
+        for line in open(p, errors='replace'):
+            yield line
+
+
+def parse(log_paths):
+    stages = []          # list of {'finetune', 'epochs', 'hist'}
     cur = None
     final_json = None
     eval_lines = []
-    in_eval = False
-    for line in open(log_path, errors='replace'):
+    for line in _iter_lines(log_paths):
         m = re.search(r'finetune=(\S+) epochs=(\d+)', line)
         if m:
             cur = {'finetune': m.group(1) == 'True',
@@ -45,7 +57,28 @@ def parse(log_path: str):
                 final_json = json.loads(s)
             except ValueError:
                 pass
-    return stages, eval_lines, final_json
+    return _merge_resumes(stages), eval_lines, final_json
+
+
+def _merge_resumes(stages):
+    """Fold supervisor-relaunch segments into their original stage: a
+    segment with the same (finetune, epochs) header whose first logged
+    epoch is > 1 is a resume continuation, not a new stage.  On duplicate
+    epoch numbers the later segment's line wins (the resumed run re-trains
+    from the restored checkpoint's epoch)."""
+    merged = []
+    for st in stages:
+        prev = next((m for m in reversed(merged)
+                     if (m['finetune'], m['epochs'])
+                     == (st['finetune'], st['epochs'])), None)
+        if prev is not None and (not st['hist']
+                                 or st['hist'][0][0] > 1):
+            by_epoch = {e: (e, v, s) for e, v, s in prev['hist']}
+            by_epoch.update({e: (e, v, s) for e, v, s in st['hist']})
+            prev['hist'] = [by_epoch[e] for e in sorted(by_epoch)]
+        else:
+            merged.append(st)
+    return merged
 
 
 def curve(hist, points=12):
@@ -60,7 +93,8 @@ def curve(hist, points=12):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--log', required=True)
+    ap.add_argument('--log', required=True, nargs='+',
+                    help='one or more log files, concatenated in order')
     ap.add_argument('--out', default='LADDER_RESULTS.md')
     ap.add_argument('--title', default='')
     args = ap.parse_args()
