@@ -47,6 +47,12 @@ class LIFusionConfig:
     # reference counterpart — identical math to feature_gather(map, xy)
     # up to float reassociation; tests pin fused == plain.
     FUSED_PYRAMID: bool = True
+    # fused-pyramid formulation (round-4 A/B, tools/bench_pyramid.py):
+    # 'taps' = per-level tap-major tables + four narrow gathers per level;
+    # 'preconv' = stock depth-to-space pre-conv map + ONE wide gather;
+    # 'pallas_d2s' = 'preconv' with the depth-to-space as a Pallas sublane
+    # shuffle (ops/pallas/depth_to_space.py) instead of XLA's 6-D transpose
+    PYRAMID_EVAL: str = 'taps'
 
 
 @dataclass(frozen=True)

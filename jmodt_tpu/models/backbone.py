@@ -158,6 +158,7 @@ class PointNet2MSG(nn.Module):
                 kernels=li.DeConv_Kernels,
                 out_channels=li.IMG_FEATURES_CHANNEL // 4,
                 dtype=dtype,
+                eval_mode=getattr(li, 'PYRAMID_EVAL', 'taps'),
                 name='img_pyramid')
             if li.FUSED_PYRAMID and not train:
                 # eval: sample the pyramid at the points directly — the

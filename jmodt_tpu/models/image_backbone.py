@@ -9,8 +9,11 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from jmodt_tpu.ops.pallas.depth_to_space import depth_to_space_pallas
 
 
 class BasicBlock(nn.Module):
@@ -111,11 +114,15 @@ class NonOverlapDeconv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, flatten_taps: bool = False):
+    def __call__(self, x, flatten_taps=False):
         """`flatten_taps=True` skips the depth-to-space transpose and
         returns the tap-major table (B, H*W*k*k, r) whose row for full-res
         pixel (y, x) is ((y//k)*W + x//k)*k*k + (y%k)*k + (x%k) — the
-        fused-pyramid gather path consumes it directly."""
+        fused-pyramid gather path consumes it directly.
+        `flatten_taps='lowres'` returns the same table as (B, h*w, k*k*r)
+        — one row per low-res pixel, taps (dy, dx, r) in the minor dim —
+        the layout `ops.pallas.depth_to_space` consumes (bias included,
+        tiled over the taps)."""
         k, r = self.kernel, self.features
         b, h, w, c = x.shape
         kern = self.param('kernel', nn.initializers.lecun_normal(),
@@ -128,6 +135,9 @@ class NonOverlapDeconv(nn.Module):
         wmat = jnp.transpose(kern[::-1, ::-1], (2, 0, 1, 3)).reshape(
             c, k * k * r)
         y = (x.reshape(b * h * w, c).astype(cdt) @ wmat.astype(cdt))
+        if flatten_taps == 'lowres':
+            return (y.reshape(b, h * w, k * k * r)
+                    + jnp.tile(bias.astype(cdt), k * k))
         if flatten_taps:
             return (y.reshape(b, h * w * k * k, r) + bias.astype(cdt))
         y = y.reshape(b, h, w, k, k, r)
@@ -150,11 +160,24 @@ class ImagePyramidFusion(nn.Module):
     of 384x1280 pixels.  relu(BN(.)) runs per PIXEL before the bilinear
     blend and out-of-map corners contribute zero AFTER the relu — exactly
     feature_gather(full_map, xy).  Parameter trees are identical in both
-    modes (same submodules, same call order)."""
+    modes (same submodules, same call order).
+
+    `eval_mode` picks the fused formulation (round-4 A/B,
+    tools/bench_pyramid.py):
+      'taps'       per-level tap-major tables, four narrow gathers per
+                   level (the original fused path)
+      'preconv'    materialize the PRE-conv concat map with the stock
+                   depth-to-space, ONE wide 4-corner gather, then
+                   conv/BN/ReLU on the 4N gathered rows only
+      'pallas_d2s' like 'preconv' but depth-to-space runs as a Pallas
+                   sublane shuffle (ops/pallas/depth_to_space.py) instead
+                   of XLA's 6-D transpose; identical-math XLA fallback
+                   off-TPU"""
     reduce_channels: Sequence[int]
     kernels: Sequence[int]
     out_channels: int
     dtype: Any = None
+    eval_mode: str = 'taps'
 
     @nn.compact
     def __call__(self, img_levels, train: bool = False, xy=None):
@@ -174,6 +197,8 @@ class ImagePyramidFusion(nn.Module):
         # fused gather path (eval: BN must use running stats — batch-stat
         # collection is defined over the full map, which this path skips)
         assert not train, 'fused pyramid gather is an eval-only path'
+        if self.eval_mode in ('preconv', 'pallas_d2s'):
+            return self._wide_gather(img_levels, xy)
         tabs = []
         for i, feat in enumerate(img_levels):
             tabs.append(NonOverlapDeconv(
@@ -207,6 +232,51 @@ class ImagePyramidFusion(nn.Module):
             per_level.append(jnp.take_along_axis(
                 tab, idx[..., None], axis=1))
         g = jnp.concatenate(per_level, axis=-1)          # (B, 4N, sum r)
+        b_, n4, cc = g.shape
+        x = conv(g.reshape(b_, n4, 1, cc))
+        x = nn.relu(bn(x))[:, :, 0, :]                   # (B, 4N, out)
+        n = xy.shape[1]
+        f = x.reshape(b_, 4, n, self.out_channels)
+        ok = jnp.stack(oks, axis=1)[..., None].astype(f.dtype)
+        f = f * ok
+        au = au.astype(f.dtype)
+        av = av.astype(f.dtype)
+        top = f[:, 0] * (1 - au) + f[:, 1] * au
+        bot = f[:, 2] * (1 - au) + f[:, 3] * au
+        return top * (1 - av) + bot * av
+
+    def _wide_gather(self, img_levels, xy):
+        """'preconv' / 'pallas_d2s' eval modes: materialize the PRE-conv
+        concat map (R-channel levels only — never the post-conv full-res
+        map), gather the four bilinear corners ONCE as wide rows, then
+        conv/BN/ReLU on the 4N gathered rows.  Submodule creation order
+        matches the other paths exactly (deconvs, conv, bn)."""
+        k0 = self.kernels[0]
+        _, h00, w00, _ = img_levels[0].shape
+        h, w = h00 * k0, w00 * k0
+        use_pallas = (self.eval_mode == 'pallas_d2s'
+                      and jax.default_backend() == 'tpu')
+        cols = []
+        for i, feat in enumerate(img_levels):
+            k, r = self.kernels[i], self.reduce_channels[i]
+            b, h0, w0, _ = feat.shape
+            dec = NonOverlapDeconv(r, k, dtype=self.dtype)
+            if use_pallas:
+                taps = dec(feat, flatten_taps='lowres')
+                cols.append(depth_to_space_pallas(taps, k, r, h0, w0))
+            else:
+                cols.append(dec(feat).reshape(b, h * w, r))
+        flat = jnp.concatenate(cols, axis=-1)            # (B, H*W, sum r)
+        conv = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)
+        bn = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype)
+
+        uu, vv, inu, inv, au, av = _bilinear_corners(h, w, xy)
+        idx = jnp.concatenate([vv[ci] * w + uu[cj]
+                               for ci in range(2) for cj in range(2)],
+                              axis=1)                    # (B, 4N)
+        oks = [inv[ci] & inu[cj] for ci in range(2) for cj in range(2)]
+        g = jnp.take_along_axis(flat, idx[..., None], axis=1)
         b_, n4, cc = g.shape
         x = conv(g.reshape(b_, n4, 1, cc))
         x = nn.relu(bn(x))[:, :, 0, :]                   # (B, 4N, out)

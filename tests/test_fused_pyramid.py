@@ -81,3 +81,66 @@ def test_backbone_eval_uses_fused_path(rng):
         np.testing.assert_allclose(np.asarray(out_on[k]),
                                    np.asarray(out_off[k]),
                                    rtol=2e-4, atol=2e-4, err_msg=k)
+
+
+def test_wide_gather_modes_match_materialized(rng):
+    """'preconv' and 'pallas_d2s' eval modes == materialize-then-sample
+    (on CPU 'pallas_d2s' takes the identical-math XLA fallback; the Pallas
+    kernel itself is pinned in interpret mode below)."""
+    mod, variables, levels, xy = _setup(rng)
+    full = mod.apply(variables, levels, train=False)
+    want = feature_gather(full, xy)
+    for mode in ('preconv', 'pallas_d2s'):
+        m2 = ImagePyramidFusion(reduce_channels=REDUCE, kernels=KERNELS,
+                                out_channels=OUT, eval_mode=mode)
+        got = m2.apply(variables, levels, train=False, xy=xy)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5, err_msg=mode)
+
+
+def test_wide_gather_param_tree_identical(rng):
+    mod, variables, levels, xy = _setup(rng)
+    m2 = ImagePyramidFusion(reduce_channels=REDUCE, kernels=KERNELS,
+                            out_channels=OUT, eval_mode='preconv')
+    v2 = m2.init(jax.random.PRNGKey(0), levels, train=False, xy=xy)
+    a = {jax.tree_util.keystr(k): v.shape
+         for k, v in jax.tree_util.tree_leaves_with_path(variables)}
+    b = {jax.tree_util.keystr(k): v.shape
+         for k, v in jax.tree_util.tree_leaves_with_path(v2)}
+    assert a == b, set(a.items()) ^ set(b.items())
+
+
+def test_pallas_d2s_kernel_interpret(rng):
+    """ops/pallas/depth_to_space == the XLA 6-D transpose, all pyramid
+    level shapes, batch 1 and 2 (interpret mode; Mosaic compilation is
+    exercised by tools/verify_pallas.py on the real chip)."""
+    from jmodt_tpu.ops.pallas.depth_to_space import (depth_to_space_pallas,
+                                                     depth_to_space_xla)
+    for b in (1, 2):
+        for k, r, h0, w0 in ((2, 4, 16, 32), (4, 4, 8, 16),
+                             (8, 4, 4, 8), (16, 4, 2, 4)):
+            taps = jnp.asarray(
+                rng.randn(b, h0 * w0, k * k * r).astype(np.float32))
+            want = depth_to_space_xla(taps, k, r, h0, w0)
+            got = depth_to_space_pallas(taps, k, r, h0, w0,
+                                        interpret=True)
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(want))
+
+
+def test_lowres_taps_layout(rng):
+    """NonOverlapDeconv flatten_taps='lowres' + depth_to_space ==
+    the module's own materialized output."""
+    from jmodt_tpu.models.image_backbone import NonOverlapDeconv
+    from jmodt_tpu.ops.pallas.depth_to_space import depth_to_space_xla
+    k, r, h0, w0, c = 4, 5, 6, 10, 7
+    x = jnp.asarray(rng.randn(2, h0, w0, c).astype(np.float32))
+    mod = NonOverlapDeconv(r, k)
+    v = mod.init(jax.random.PRNGKey(1), x)
+    v = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32)), v)
+    want = mod.apply(v, x).reshape(2, h0 * k * w0 * k, r)
+    taps = mod.apply(v, x, flatten_taps='lowres')
+    got = depth_to_space_xla(taps, k, r, h0, w0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)

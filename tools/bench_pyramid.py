@@ -189,43 +189,21 @@ def pyramid_fused_gather(levels, params, xy):
     return bilinear_from_corners(f, au, av)
 
 
-def _d2s_kernel(y_ref, o_ref, *, k, r, w0):
-    """One low-res row of NonOverlapDeconv depth-to-space: (w0, k*k*r)
-    tap-major -> (k, w0*k*r) full-res rows.  The (w0, k) swap is a
-    sublane-only shuffle (the lane dim k*r never moves), which the VPU
-    does at copy speed — the hypothesis under test is that XLA's 6-D
-    transpose lowering of the same move is what costs img_pyramid ~5 ms."""
-    y = y_ref[0].reshape(w0, k, k * r)
-    o_ref[0] = jnp.transpose(y, (1, 0, 2)).reshape(k, w0 * k * r)
-
-
-def pallas_d2s(y2, k, r, h0, w0, interpret=False):
-    """(1, h0*w0, k*k*r) tap-major -> (1, h0*k, w0*k*r) full-res rows."""
-    from jax.experimental import pallas as pl
-    kern = functools.partial(_d2s_kernel, k=k, r=r, w0=w0)
-    return pl.pallas_call(
-        kern,
-        grid=(h0,),
-        in_specs=[pl.BlockSpec((1, w0, k * k * r), lambda i: (0, i, 0))],
-        out_specs=pl.BlockSpec((1, k, w0 * k * r), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((1, h0 * k, w0 * k * r),
-                                       jnp.float32),
-        interpret=interpret,
-    )(y2)
-
-
 def pyramid_pallas_d2s(levels, params, xy, interpret=False):
-    """Pallas depth-to-space per level + ONE wide 4-corner gather of the
-    pre-conv concat map + conv/BN/ReLU on the 4N gathered rows only."""
+    """Pallas depth-to-space per level (jmodt_tpu/ops/pallas/
+    depth_to_space.py — the kernel the model's 'pallas_d2s' eval mode
+    uses) + ONE wide 4-corner gather of the pre-conv concat map +
+    conv/BN/ReLU on the 4N gathered rows only."""
+    from jmodt_tpu.ops.pallas.depth_to_space import depth_to_space_pallas
     ups = []
     for i in range(4):
         x, kern = levels[i], params[f'w{i}']
         k, _, c, r = kern.shape
         b, h0, w0, _ = x.shape
         y = x.reshape(b * h0 * w0, c) @ wmat(kern)
-        fr = pallas_d2s(y.reshape(1, h0 * w0, k * k * r), k, r, h0, w0,
-                        interpret=interpret)
-        ups.append(fr.reshape(1, H * W, r) + params[f'b{i}'])
+        fr = depth_to_space_pallas(y.reshape(1, h0 * w0, k * k * r),
+                                   k, r, h0, w0, interpret=interpret)
+        ups.append(fr + params[f'b{i}'])
     flat = jnp.concatenate(ups, axis=-1)             # (1, H*W, 4*REDUCE)
 
     uu, vv, inu, inv, au, av = corner_data(xy, H, W)

@@ -220,7 +220,24 @@ def main():
                 missing = set(inside.tolist()) - set(row.tolist())
                 assert not missing, f'center {m}: missed {missing}'
 
+    def depth_to_space():
+        from jmodt_tpu.ops.pallas.depth_to_space import (
+            depth_to_space_pallas, depth_to_space_xla)
+        # all four production level shapes (k, r, h0, w0), batch 1
+        for k, r, h0, w0 in ((2, 16, 192, 640), (4, 16, 96, 320),
+                             (8, 16, 48, 160), (16, 16, 24, 80)):
+            taps = jnp.asarray(rng.randn(
+                1, h0 * w0, k * k * r).astype(np.float32))
+            want = np.asarray(jax.jit(
+                lambda t: depth_to_space_xla(t, k, r, h0, w0))(taps))
+            got = np.asarray(depth_to_space_pallas(
+                taps, k, r, h0, w0, interpret=interpret))
+            # a pure data movement must be bit-exact
+            assert (got == want).all(), \
+                f'k={k}: {np.abs(got - want).max()} max diff'
+
     check('ball_query_2048x128_oracle', ball_query_oracle)
+    check('depth_to_space_all_levels', depth_to_space)
     check('fps_single_4096_1024', fps_single)
     check('fps_batched_100x512_128', fps_batched)
     check('fps_batched_tilecap_8x16384_64', fps_batched_tilecap)
