@@ -2,21 +2,23 @@
 # Supervises the round-4 synthetic ladder (tools/synthetic_ladder.py)
 # against TPU-relay outages and wedges (CLAUDE.md: relay drops strand the
 # client in futex-wait with silent logs).  Loop:
+#   0. if a ladder client from a previous supervisor is alive (PID file),
+#      ADOPT it instead of launching a second TPU client
 #   1. probe the relay with a tiny bounded program; sleep while it is down
-#   2. relaunch the ladder resuming from the furthest stage with artifacts
+#   2. relaunch the ladder resuming from the furthest stage with
+#      artifacts (checkpoints ordered by EPOCH, not mtime — a resumed run
+#      can leave mixed generations in one directory)
 #   3. watch the log; if it goes silent >7 min, kill the client and loop
 # Exits 0 when the ladder's final JSON (with "mota") has been printed.
 #
-# Stage-resume decision (see synthetic_ladder.py CLI):
+# Stage-resume decision (see synthetic_ladder.py CLI; every --resumeN
+# restores optimizer + epoch via TRAIN.RELOAD_OPTIMIZER for that stage):
 #   final JSON in log            -> done
 #   stage3 ckpt at --epochs3     -> --eval_ckpt  (training all done)
-#   stage2 ckpts exist           -> --stage1_ckpt <latest stage2 ckpt>
-#                                   (train.py --ckpt restores epoch +
-#                                   optimizer, so stage 2 CONTINUES; a
-#                                   finished stage 2 restores at its last
-#                                   epoch and falls through to stage 3)
-#   stage1 finished (stage2 dir) -> --stage1_ckpt <latest stage1 ckpt>
-#   stage1 ckpts exist           -> --resume1 <latest stage1 ckpt>
+#   stage3 ckpts exist           -> --stage1_ckpt s1 --stage2_ckpt s2 --resume3 s3
+#   stage2 ckpts exist           -> --stage1_ckpt s1 --resume2 s2
+#   stage1 finished (stage2 dir) -> --stage1_ckpt s1
+#   stage1 ckpts exist           -> --resume1 s1
 #   nothing                      -> fresh run
 set -u
 cd /root/repo
@@ -31,10 +33,14 @@ SETKV=(--set RCNN.CLS_FG_THRESH 0.35 RCNN.CLS_BG_THRESH 0.25
 
 note() { echo "$(date -u '+%m-%d %H:%M:%S') $*" >> "$SLOG"; }
 
-latest_stem() {  # newest checkpoint stem in dir $1, empty if none
-  local f
-  f=$(ls -t "$1"/checkpoint_epoch_*.ckpt 2>/dev/null | head -1) || true
-  [ -n "${f:-}" ] && echo "${f%.ckpt}"
+latest_stem() {  # highest-EPOCH checkpoint stem in dir $1, empty if none
+  local best="" bestn=-1 f n
+  for f in "$1"/checkpoint_epoch_*.ckpt; do
+    [ -e "$f" ] || continue
+    n=${f##*checkpoint_epoch_}; n=${n%.ckpt}
+    if [ "$n" -gt "$bestn" ] 2>/dev/null; then bestn=$n; best="${f%.ckpt}"; fi
+  done
+  [ -n "$best" ] && echo "$best"
 }
 
 relay_ok() {
@@ -46,20 +52,46 @@ print(float(jax.jit(lambda a: (a@a).sum())(jnp.ones((128,128)))))
 
 done_yet() { grep -q '"mota"' "$LOG" 2>/dev/null; }
 
+monitor() {  # watch client $1; returns when it is gone (wedges killed)
+  local pid=$1 age
+  sleep 30
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 60
+    age=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || echo 0) ))
+    if [ "$age" -gt 420 ]; then
+      note "wedge: log silent ${age}s; killing $pid"
+      kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+      sleep 10
+      return
+    fi
+  done
+  note "ladder process $pid exited"
+}
+
+# adopt a still-running client from a previous supervisor instance
+if [ -f /tmp/ladder.pid ] && kill -0 "$(cat /tmp/ladder.pid)" 2>/dev/null
+then
+  note "adopting live ladder client $(cat /tmp/ladder.pid)"
+  monitor "$(cat /tmp/ladder.pid)"
+fi
+
 while true; do
   if done_yet; then note "ladder complete"; exit 0; fi
   if ! relay_ok; then note "relay down"; sleep 180; continue; fi
-  note "relay up; choosing resume point"
 
+  s1=$(latest_stem "$OUT/stage1/ckpt" || true)
+  s2=$(latest_stem "$OUT/stage2/ckpt" || true)
+  s3=$(latest_stem "$OUT/stage3/ckpt" || true)
   EXTRA=()
   if [ -f "$OUT/stage3/ckpt/checkpoint_epoch_${EPOCHS3}.ckpt" ]; then
     EXTRA=(--eval_ckpt "$OUT/stage3/ckpt/checkpoint_epoch_${EPOCHS3}")
-  elif s2=$(latest_stem "$OUT/stage2/ckpt"); [ -n "${s2:-}" ]; then
-    EXTRA=(--stage1_ckpt "$s2")
-  elif [ -d "$OUT/stage2" ] && s1=$(latest_stem "$OUT/stage1/ckpt"); \
-       [ -n "${s1:-}" ]; then
+  elif [ -n "${s3:-}" ]; then
+    EXTRA=(--stage1_ckpt "$s1" --stage2_ckpt "$s2" --resume3 "$s3")
+  elif [ -n "${s2:-}" ]; then
+    EXTRA=(--stage1_ckpt "$s1" --resume2 "$s2")
+  elif [ -d "$OUT/stage2" ] && [ -n "${s1:-}" ]; then
     EXTRA=(--stage1_ckpt "$s1")
-  elif s1=$(latest_stem "$OUT/stage1/ckpt"); [ -n "${s1:-}" ]; then
+  elif [ -n "${s1:-}" ]; then
     EXTRA=(--resume1 "$s1")
   fi
   note "launching: ${EXTRA[*]:-fresh}"
@@ -68,22 +100,6 @@ while true; do
       "${SETKV[@]}" >> "$LOG" 2>&1 &
   PID=$!
   echo "$PID" > /tmp/ladder.pid
-  sleep 30
-  while kill -0 "$PID" 2>/dev/null; do
-    sleep 60
-    age=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || echo 0) ))
-    if [ "$age" -gt 420 ]; then
-      note "wedge: log silent ${age}s; killing $PID"
-      kill "$PID" 2>/dev/null; sleep 5; kill -9 "$PID" 2>/dev/null
-      sleep 10
-      break
-    fi
-  done
-  if ! kill -0 "$PID" 2>/dev/null; then
-    wait "$PID" 2>/dev/null; rc=$?
-    note "ladder process exited rc=$rc"
-    done_yet && { note "ladder complete"; exit 0; }
-    # crashed or was killed: loop re-probes and resumes
-    sleep 30
-  fi
+  monitor "$PID"
+  sleep 20
 done

@@ -27,6 +27,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(
@@ -48,8 +49,15 @@ def run_train(argv):
 
 
 def latest_ckpt(ckpt_dir):
+    """Stem of the highest-EPOCH checkpoint.  Epoch number, not mtime: a
+    supervisor resume can leave mixed generations in one directory (an
+    old epoch_350 next to a fresh epoch_50), and the furthest training
+    state is the one with the largest saved epoch."""
+    def epoch_of(path):
+        m = re.search(r'checkpoint_epoch_(\d+)', path)
+        return int(m.group(1)) if m else -1
     cands = sorted(glob.glob(os.path.join(ckpt_dir, 'checkpoint_epoch_*')),
-                   key=os.path.getmtime)
+                   key=epoch_of)
     assert cands, f'no checkpoints in {ckpt_dir}'
     stem = cands[-1]
     return stem[:-len('.ckpt')] if stem.endswith('.ckpt') else stem
@@ -77,8 +85,19 @@ def main():
                          'checkpoint stem instead of training stage 1')
     ap.add_argument('--resume1', type=str, default=None,
                     help='checkpoint stem to CONTINUE stage 1 from '
-                         '(restores optimizer state + epoch; epochs1 and '
-                         'TMAX stay the full-run values)')
+                         '(restores optimizer state + epoch via '
+                         'TRAIN.RELOAD_OPTIMIZER for this stage only; '
+                         'epochs1 and TMAX stay the full-run values)')
+    ap.add_argument('--stage2_ckpt', type=str, default=None,
+                    help='reuse an existing stage-2 checkpoint stem '
+                         'instead of training stage 2 (requires '
+                         '--stage1_ckpt)')
+    ap.add_argument('--resume2', type=str, default=None,
+                    help='checkpoint stem to CONTINUE stage 2 from '
+                         '(restores optimizer state + epoch)')
+    ap.add_argument('--resume3', type=str, default=None,
+                    help='checkpoint stem to CONTINUE stage 3 from '
+                         '(restores optimizer state + epoch)')
     ap.add_argument('--eval_ckpt', type=str, default=None,
                     help='skip all training and run the final eval block '
                          'on this checkpoint stem')
@@ -158,30 +177,46 @@ def main():
         out1 = os.path.join(root, 'stage1')
         # NOTE --ckpt must precede --set: --set is argparse.REMAINDER
         # (reference CLI semantics) and swallows everything after it
+        # a --resumeN continuation must restore optimizer + epoch:
+        # tools/train.py only does that under cfg.TRAIN.RELOAD_OPTIMIZER
+        # (reference train.py:108-113 semantics; default False so the
+        # stage-2/3 BOOTSTRAP --ckpt loads seed weights only)
+        reload1 = (['TRAIN.RELOAD_OPTIMIZER', 'True']
+                   if args.resume1 else [])
         run_train(common + [
             '--output_dir', out1, '--finetune',
             '--epochs', str(args.epochs1)]
             + (['--ckpt', args.resume1] if args.resume1 else [])
             + ['--set', 'LI_FUSION.ENABLED', 'False', 'TRAIN.LR',
-               str(args.lr), 'TRAIN.TMAX', str(args.epochs1)] + args.set_kv)
+               str(args.lr), 'TRAIN.TMAX', str(args.epochs1)]
+            + reload1 + args.set_kv)
         ck1 = latest_ckpt(os.path.join(out1, 'ckpt'))
 
     if not args.eval_ckpt:
         # ---- stage 2: fusion, partial-restore bootstrap ----
-        out2 = os.path.join(root, 'stage2')
-        run_train(common + [
-            '--output_dir', out2, '--finetune', '--ckpt', ck1,
-            '--epochs', str(args.epochs2),
-            '--set', 'TRAIN.LR', str(args.lr / 2),
-            'TRAIN.TMAX', str(args.epochs2)] + args.set_kv)
-        ck2 = latest_ckpt(os.path.join(out2, 'ckpt'))
+        if args.stage2_ckpt:
+            ck2 = args.stage2_ckpt
+        else:
+            out2 = os.path.join(root, 'stage2')
+            reload2 = (['TRAIN.RELOAD_OPTIMIZER', 'True']
+                       if args.resume2 else [])
+            run_train(common + [
+                '--output_dir', out2, '--finetune',
+                '--ckpt', args.resume2 or ck1,
+                '--epochs', str(args.epochs2),
+                '--set', 'TRAIN.LR', str(args.lr / 2),
+                'TRAIN.TMAX', str(args.epochs2)] + reload2 + args.set_kv)
+            ck2 = latest_ckpt(os.path.join(out2, 'ckpt'))
 
         # ---- stage 3: finetune link/se only (default mode) ----
         out3 = os.path.join(root, 'stage3')
+        reload3 = (['TRAIN.RELOAD_OPTIMIZER', 'True']
+                   if args.resume3 else [])
         run_train(common + [
-            '--output_dir', out3, '--ckpt', ck2,
+            '--output_dir', out3, '--ckpt', args.resume3 or ck2,
             '--epochs', str(args.epochs3),
-            '--set', 'TRAIN.TMAX', str(args.epochs3)] + args.set_kv)
+            '--set', 'TRAIN.TMAX', str(args.epochs3)]
+            + reload3 + args.set_kv)
         ck3 = latest_ckpt(os.path.join(out3, 'ckpt'))
 
     # ---- eval: stage-1 AP + stage-2 MOT over the val sequences ----
