@@ -16,8 +16,8 @@ from flax import linen as nn
 
 from jmodt_tpu.models.layers import PointwiseMLP
 from jmodt_tpu.ops.fused_sa import fold_pointwise_mlp, fused_sa_eval
-from jmodt_tpu.ops.grouping import (ball_query, group_points_fl,
-                                    group_xyz)
+from jmodt_tpu.ops.grouping import (ball_query, ball_query_multi,
+                                    group_points_fl, group_xyz)
 from jmodt_tpu.ops.interpolate import three_interpolate_fl, three_nn
 from jmodt_tpu.ops.sampling import farthest_point_sample, gather_xyz
 
@@ -56,6 +56,19 @@ class SAModuleMSG(nn.Module):
 
         cdt = self.dtype or xyz.dtype
 
+        # one shared distance computation for all MSG scales (the scales
+        # query identical centroids against the identical cloud); at the
+        # level-0 shape this saves a full 268 MB d2 materialization per
+        # extra scale.  Selection semantics per scale == ball_query.
+        nbrs = None
+        if self.npoint is not None:
+            if len(self.radii) > 1:
+                nbrs = ball_query_multi(tuple(self.radii),
+                                        tuple(self.nsamples), xyz, new_xyz)
+            else:
+                nbrs = (ball_query(self.radii[0], self.nsamples[0], xyz,
+                                   new_xyz),)
+
         # Fused fast path: BN-folded gather->MLP->max (ops/fused_sa.py,
         # Pallas VMEM kernel on TPU), one fused kernel per MSG scale.
         # Used by the RCNN head (single-scale, where B=num_rois makes the
@@ -77,7 +90,7 @@ class SAModuleMSG(nn.Module):
             outs = []
             for i, (radius, nsample) in enumerate(
                     zip(self.radii, self.nsamples)):
-                nbr = ball_query(radius, nsample, xyz, new_xyz)
+                nbr = nbrs[i]
                 folded = fold_pointwise_mlp(
                     self.variables['params'][f'mlp_{i}'],
                     self.variables['batch_stats'][f'mlp_{i}']
@@ -91,7 +104,7 @@ class SAModuleMSG(nn.Module):
         for i, (radius, nsample, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
             if self.npoint is not None:
-                nbr = ball_query(radius, nsample, xyz, new_xyz)  # (B, M, S)
+                nbr = nbrs[i]                                    # (B, M, S)
                 grouped_xyz = (group_xyz(xyz, nbr)
                                - new_xyz[:, :, None, :]).astype(cdt)
                 if features is not None:

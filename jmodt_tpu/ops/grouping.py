@@ -30,6 +30,24 @@ import jax.numpy as jnp
 _D2_BUDGET = 16 * 1024 * 1024
 
 
+def _first_k_in_radius(d2, col, n, r2, nsample):
+    """First-`nsample` indices (point order) with d2 < r2, per row.
+    key = index where in-radius else N; the nsample smallest keys are the
+    first hits.  top_k runs on a flattened 2-D view: 3-D batched top_k
+    hits a pathologically slow path on TPU (measured 53 ms vs 0.7 ms at
+    the level-0 shape)."""
+    key = jnp.where(d2 < r2, col, n)
+    neg_top, _ = jax.lax.top_k(-key.reshape(-1, n), nsample)
+    idx = (-neg_top).reshape(key.shape[:-1] + (nsample,))  # ascending
+    first = idx[..., 0:1]
+    miss = idx >= n
+    # pad misses with the first hit; all-miss rows fall back to 0
+    # (the CUDA kernel leaves uninitialized memory there — callers
+    # guarantee at least one hit because centroids come from xyz)
+    fallback = jnp.where(first >= n, 0, first)
+    return jnp.where(miss, fallback, idx).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=('nsample', 'chunk'))
 def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
                new_xyz: jnp.ndarray, chunk: int | None = None) -> jnp.ndarray:
@@ -75,19 +93,7 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
                   q8, pts8, (((2,), (2,)), ((0,), (0,))),
                   precision=jax.lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32))   # (B, chunk, N)
-        key = jnp.where(d2 < r2, col, n)
-        # nsample smallest keys = first hits in point order.  top_k runs on
-        # a flattened 2-D view: 3-D batched top_k hits a pathologically
-        # slow path on TPU (measured 53 ms vs 0.7 ms at the level-0 shape)
-        neg_top, _ = jax.lax.top_k(-key.reshape(-1, n), nsample)
-        idx = (-neg_top).reshape(key.shape[:-1] + (nsample,))  # ascending
-        first = idx[..., 0:1]
-        miss = idx >= n
-        # pad misses with the first hit; all-miss rows fall back to 0
-        # (the CUDA kernel leaves uninitialized memory there — callers
-        # guarantee at least one hit because centroids come from xyz)
-        fallback = jnp.where(first >= n, 0, first)
-        return jnp.where(miss, fallback, idx).astype(jnp.int32)
+        return _first_k_in_radius(d2, col, n, r2, nsample)
 
     nblocks = (m + pad) // chunk
     if nblocks == 1:
@@ -95,6 +101,54 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
     blocks = jnp.moveaxis(new_xyz_p.reshape(b, nblocks, chunk, 3), 1, 0)
     out = jax.lax.map(per_block, blocks)                 # (nblk, B, chunk, S)
     return jnp.moveaxis(out, 0, 1).reshape(b, -1, nsample)[:, :m]
+
+
+@functools.partial(jax.jit, static_argnames=('radii', 'nsamples', 'chunk'))
+def ball_query_multi(radii: tuple, nsamples: tuple, xyz: jnp.ndarray,
+                     new_xyz: jnp.ndarray,
+                     chunk: int | None = None) -> tuple:
+    """`ball_query` for several (radius, nsample) scales sharing ONE
+    distance computation (multi-scale grouping queries the same centroids
+    against the same cloud per scale — reference pointnet2_modules.py MSG;
+    computing d2 once saves a full (B, M, N) materialization per extra
+    scale: ~268 MB ≈ 0.3 ms at the level-0 shape).
+
+    Selection semantics per scale are exactly `ball_query`
+    (`_first_k_in_radius`); parity is test-pinned.
+
+    :return: tuple of (B, M, nsamples[i]) int32, one per scale
+    """
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    if chunk is None:
+        chunk = max(128, _D2_BUDGET // (b * n))
+    chunk = min(chunk, m)
+    pad = (-m) % chunk
+    new_xyz_p = jnp.pad(new_xyz, ((0, 0), (0, pad), (0, 0)))
+
+    pts8 = jnp.pad(xyz, ((0, 0), (0, 0), (0, 5)))        # (B, N, 8)
+    p_sq = jnp.sum(xyz * xyz, axis=-1)                   # (B, N)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+
+    def per_block(q_block):  # (B, chunk, 3) -> tuple per scale
+        q8 = jnp.pad(q_block, ((0, 0), (0, 0), (0, 5)))
+        q_sq = jnp.sum(q_block * q_block, axis=-1)
+        # precision=HIGHEST required for correctness (see ball_query)
+        d2 = (q_sq[..., None] + p_sq[:, None, :]
+              - 2.0 * jax.lax.dot_general(
+                  q8, pts8, (((2,), (2,)), ((0,), (0,))),
+                  precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32))   # (B, chunk, N)
+        return tuple(_first_k_in_radius(d2, col, n, r * r, s)
+                     for r, s in zip(radii, nsamples))
+
+    nblocks = (m + pad) // chunk
+    if nblocks == 1:
+        return tuple(o[:, :m] for o in per_block(new_xyz_p))
+    blocks = jnp.moveaxis(new_xyz_p.reshape(b, nblocks, chunk, 3), 1, 0)
+    outs = jax.lax.map(per_block, blocks)           # tuple of (nblk, ...)
+    return tuple(jnp.moveaxis(o, 0, 1).reshape(b, -1, s)[:, :m]
+                 for o, s in zip(outs, nsamples))
 
 
 def group_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

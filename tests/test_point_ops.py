@@ -233,3 +233,19 @@ def test_feature_last_variants_match(rng):
         np.transpose(kf, (0, 2, 1)), ii, w))             # (B, C, N)
     np.testing.assert_allclose(got, np.transpose(want, (0, 2, 1)),
                                rtol=1e-5)
+
+
+def test_ball_query_multi_matches_per_scale(rng):
+    """ball_query_multi == tuple of independent ball_query calls, every
+    scale, both the single-block and the chunked (lax.map) path."""
+    from jmodt_tpu.ops.grouping import ball_query, ball_query_multi
+    import jax.numpy as jnp
+    xyz = jnp.asarray(rng.randn(2, 512, 3).astype(np.float32) * 4)
+    ctr = xyz[:, ::4]                                    # (2, 128, 3)
+    radii, nsamples = (0.5, 1.0, 2.5), (8, 16, 4)
+    for chunk in (None, 32):                             # 32 forces 4 blocks
+        got = ball_query_multi(radii, nsamples, xyz, ctr, chunk=chunk)
+        for g, r, s in zip(got, radii, nsamples):
+            want = ball_query(r, s, xyz, ctr, chunk=chunk)
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(want),
+                                          err_msg=f'r={r} chunk={chunk}')
