@@ -62,7 +62,8 @@ def main():
     from jmodt_tpu.models.backbone import PointNet2MSG
     from jmodt_tpu.models.inference import make_detection_step
     from jmodt_tpu.models.rcnn import CorrelationHead
-    from jmodt_tpu.ops.grouping import ball_query
+    from jmodt_tpu.ops.grouping import ball_query, ball_query_multi
+    from jmodt_tpu.ops.fused_sa import fold_pointwise_mlp, fused_sa_eval
     from jmodt_tpu.ops.sampling import farthest_point_sample
     from jmodt_tpu.tracking.device_tracker import (init_state,
                                                    make_device_tracker_step)
@@ -150,6 +151,33 @@ def main():
             kk, c, f, False))(jax.random.PRNGKey(k))
         fn = jax.jit(lambda vv, c, f, m=mod: m.apply(vv, c, f, False))
         res[f'sa_level{k}'] = slope_time(fn, [v, cloud, feats], it) * 1e3
+
+        # ---- per-op decomposition of levels 1-3 (round 4): their
+        # standalone costs (2-4 ms) exceed any FLOP/traffic bound ~10x;
+        # attribute fps vs ball-query vs gather+MLP before considering a
+        # whole-level megakernel (PERF_ANALYSIS.md lever #2) ----
+        if k >= 1 and feats is not None:
+            cent = cloud[:, :sa_cfg.NPOINTS[k]]
+            fn = jax.jit(lambda c, m=sa_cfg.NPOINTS[k]: farthest_point_sample(
+                c, m, use_pallas=cfg.RPN.USE_PALLAS_FPS))
+            res[f'sa{k}_fps'] = slope_time(fn, [cloud], it) * 1e3
+            radii = tuple(sa_cfg.RADIUS[k])
+            nsamp = tuple(sa_cfg.NSAMPLE[k])
+            fn = jax.jit(lambda x, c: ball_query_multi(radii, nsamp, x, c))
+            res[f'sa{k}_ballq_multi'] = slope_time(fn, [cloud, cent],
+                                                   it) * 1e3
+            fn = jax.jit(lambda x, c: ball_query(radii[0], nsamp[0], x, c))
+            res[f'sa{k}_ballq_scale0'] = slope_time(fn, [cloud, cent],
+                                                    it) * 1e3
+            nbr = jax.jit(lambda x, c: ball_query(
+                radii[0], nsamp[0], x, c))(cloud, cent)
+            folded = fold_pointwise_mlp(
+                v['params']['mlp_0'],
+                v['batch_stats']['mlp_0'] if cfg.RPN.USE_BN else None)
+            fn = jax.jit(lambda x, f, c, n, fl: fused_sa_eval(
+                x, f, c, n, fl))
+            res[f'sa{k}_fused_gather_mlp'] = slope_time(
+                fn, [cloud, feats, cent, nbr, folded], it) * 1e3
         c_in = sum(m[-1] for m in mlps)
 
     # ---- FP level 0 (coarse 4096 -> fine 16384, the big one) ----
