@@ -68,7 +68,8 @@ class PointNet2MSG(nn.Module):
     use_xyz: bool = True
 
     @nn.compact
-    def __call__(self, pc, image=None, xy=None, train: bool = False):
+    def __call__(self, pc, image=None, xy=None, train: bool = False,
+                 under_grad: bool = False):
         cfg = self.cfg
         sa_cfg = cfg.RPN.SA_CONFIG
         li = cfg.LI_FUSION
@@ -101,7 +102,7 @@ class PointNet2MSG(nn.Module):
 
         # remat: recompute SA internals (ball-query masks, grouped
         # neighborhoods) in the backward pass instead of saving them
-        sa_cls = (nn.remat(SAModuleMSG, static_argnums=(3,))
+        sa_cls = (nn.remat(SAModuleMSG, static_argnums=(3, 4))
                   if cfg.RPN.REMAT else SAModuleMSG)
         fp_cls = (nn.remat(FPModule, static_argnums=(5,))
                   if cfg.RPN.REMAT else FPModule)
@@ -122,7 +123,7 @@ class PointNet2MSG(nn.Module):
                 dtype=dtype,
                 use_pallas_fps=cfg.RPN.USE_PALLAS_FPS,
                 fused_eval=fused_k,
-                name=f'sa_{k}')(l_xyz[k], l_features[k], train)
+                name=f'sa_{k}')(l_xyz[k], l_features[k], train, under_grad)
 
             if use_fusion:
                 li_xy = jnp.take_along_axis(

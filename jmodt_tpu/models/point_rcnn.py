@@ -47,8 +47,13 @@ class PointRCNN(nn.Module):
             'composite model expects both stages enabled'
 
         rpn_train = train and not cfg.RPN.FIXED
+        # under_grad=train: with cfg.RPN.FIXED the RPN runs eval-mode inside
+        # a differentiated apply — jax.grad computes tangents for ALL params
+        # (the optimizer mask zeroes the frozen ones afterwards), so every
+        # op on the RPN path still needs a JVP; the fused-SA Pallas kernel
+        # has none (ladder stage-3 'Linearization failed' crash, round 4)
         rpn_out = RPN(cfg, use_xyz=self.use_xyz, name='rpn')(
-            pts_input, img, pts_xy, train=rpn_train)
+            pts_input, img, pts_xy, train=rpn_train, under_grad=train)
         output = dict(rpn_out)
 
         backbone_xyz = rpn_out['backbone_xyz']

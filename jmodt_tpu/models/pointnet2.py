@@ -42,7 +42,8 @@ class SAModuleMSG(nn.Module):
     fused_eval: bool = False
 
     @nn.compact
-    def __call__(self, xyz, features=None, train: bool = False):
+    def __call__(self, xyz, features=None, train: bool = False,
+                 under_grad: bool = False):
         assert len(self.radii) == len(self.nsamples) == len(self.mlps)
         # geometry (FPS, ball query) always runs on f32 coordinates; only the
         # grouped-feature MLP compute drops to self.dtype
@@ -80,7 +81,13 @@ class SAModuleMSG(nn.Module):
         # the param tree is identical.  Train is eligible only without BN
         # (no batch statistics to update); there the XLA form runs — same
         # math, differentiable by autodiff — since the Pallas kernel
-        # defines no VJP.  The fused path always computes f32 even under
+        # defines no VJP.  `under_grad` marks a call whose surrounding
+        # apply is differentiated even though this module runs eval-mode
+        # (the frozen-RPN finetune: cfg.RPN.FIXED makes rpn_train=False
+        # while jax.grad still linearizes the whole forward and the RPN
+        # params carry tangents into this block — the round-4 ladder
+        # stage-3 crash) — it forces the XLA form too.  The fused path
+        # always computes f32 even under
         # cfg.DTYPE=bfloat16: its win is HBM traffic, not dtype (bf16
         # measured a wash end-to-end, CLAUDE.md), and the one-hot MXU
         # gather must stay exact.
@@ -97,7 +104,7 @@ class SAModuleMSG(nn.Module):
                     if self.use_bn else None)
                 outs.append(fused_sa_eval(
                     xyz, features, new_xyz, nbr, folded,
-                    use_pallas=False if train else None))
+                    use_pallas=False if (train or under_grad) else None))
             out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, -1)
             return new_xyz, out, idx
         outs = []

@@ -35,12 +35,14 @@ class RPN(nn.Module):
     use_xyz: bool = True
 
     @nn.compact
-    def __call__(self, pts_input, img=None, pts_xy=None, train: bool = False):
+    def __call__(self, pts_input, img=None, pts_xy=None, train: bool = False,
+                 under_grad: bool = False):
         cfg = self.cfg
         input_channels = int(cfg.RPN.USE_INTENSITY) + 3 * int(cfg.RPN.USE_RGB)
         xyz, feats = PointNet2MSG(
             cfg, input_channels=input_channels, use_xyz=self.use_xyz,
-            name='backbone')(pts_input, img, pts_xy, train=train)
+            name='backbone')(pts_input, img, pts_xy, train=train,
+                             under_grad=under_grad)
 
         # focal-loss prior init of the cls bias (rpn.py:259-262)
         pi = 0.01

@@ -149,6 +149,49 @@ def test_finetune_step_freezes_detector(small_cfg, batch):
     assert max(moved_heads) > 0, 'link/se heads never trained'
 
 
+def test_finetune_fused_sa_never_picks_pallas(small_cfg, batch, monkeypatch):
+    """Regression (round-4 ladder stage-3 crash): with cfg.RPN.FIXED the
+    RPN runs eval-mode (train=False) inside a differentiated apply, and the
+    fused-SA gate used to resolve use_pallas=None -> Pallas on TPU.  The
+    Pallas kernel defines no JVP, and jax.grad linearizes the whole forward
+    (the RPN params carry tangents even though the optimizer mask freezes
+    them afterwards) -> 'Linearization failed to produce known values for
+    all output primals'.  CPU tests never caught it because use_pallas=None
+    resolves to the XLA form off-TPU.  Assert the under_grad plumbing pins
+    use_pallas=False for every fused-SA call in a finetune train step."""
+    import jmodt_tpu.models.pointnet2 as pn2
+    from jmodt_tpu.models import PointRCNN
+    from jmodt_tpu.train import create_train_state, make_train_step
+
+    seen = []
+    real = pn2.fused_sa_eval
+
+    def spy(*args, use_pallas=None, **kw):
+        seen.append(use_pallas)
+        return real(*args, use_pallas=use_pallas, **kw)
+
+    monkeypatch.setattr(pn2, 'fused_sa_eval', spy)
+
+    cfg = dataclasses.replace(
+        small_cfg,
+        TRAIN=dataclasses.replace(small_cfg.TRAIN, FINETUNE=True),
+        RPN=dataclasses.replace(small_cfg.RPN, FIXED=True, FUSED_SA=True))
+    model = PointRCNN(cfg, mode='TRAIN')
+    variables = jax.jit(lambda k: model.init(
+        k, batch['pts_input'], batch['img'], batch['pts_xy'],
+        gt_boxes3d=batch['gt_boxes3d'], gt_tids=batch['gt_tids'],
+        sample_key=jax.random.PRNGKey(1), train=True))(jax.random.PRNGKey(0))
+    state, tx = create_train_state(cfg, variables, steps_per_epoch=10)
+    # no jit: the spy must observe the trace-time static use_pallas values
+    step = make_train_step(cfg, model, tx)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, tb = step(state, jbatch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(tb['loss']))
+    assert seen, 'fused-SA path never ran — gate moved? test is stale'
+    assert all(p is False for p in seen), \
+        f'fused_sa_eval called with use_pallas={set(seen)} under grad'
+
+
 def test_dryrun_multichip_8():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
