@@ -45,10 +45,14 @@ def parse(log_paths):
         m = re.search(r'epoch (\d+): train_loss=([\d.naif-]+) '
                       r'\(([\d.]+)s', line)
         if m and cur is not None:
-            cur['hist'].append((int(m.group(1)), float(m.group(2)),
-                                float(m.group(3))))
+            # exact 0.0 is the trainer's "no loss sampled yet" placeholder
+            # (epochs shorter than log_every carry last_logged, which is
+            # 0.0 at every process launch) — real epoch losses are > 0
+            if float(m.group(2)) > 0.0:
+                cur['hist'].append((int(m.group(1)), float(m.group(2)),
+                                    float(m.group(3))))
             continue
-        if re.search(r'(AP@|Car AP|recall|MOTA|MOTP|eval|mostly|'
+        if re.search(r'(AP[@:]|Car AP|recall|MOTA|MOTP|eval|mostly|'
                      r'fragment|id switch)', line, re.I):
             eval_lines.append(line.rstrip('\n'))
         s = line.strip()
@@ -61,24 +65,41 @@ def parse(log_paths):
 
 
 def _merge_resumes(stages):
-    """Fold supervisor-relaunch segments into their original stage: a
-    segment with the same (finetune, epochs) header whose first logged
-    epoch is > 1 is a resume continuation, not a new stage.  On duplicate
-    epoch numbers the later segment's line wins (the resumed run re-trains
-    from the restored checkpoint's epoch)."""
+    """Fold supervisor-relaunch segments into their original stage: every
+    segment with the same (finetune, epochs) header is the same ladder
+    stage (the supervisor relaunches with identical stage parameters) —
+    including weights-only restarts that begin again at epoch 1 and
+    crash segments that logged nothing.  On duplicate epoch numbers the
+    later segment's line wins (the last run through that epoch is the one
+    whose weights survive)."""
     merged = []
     for st in stages:
         prev = next((m for m in reversed(merged)
                      if (m['finetune'], m['epochs'])
                      == (st['finetune'], st['epochs'])), None)
-        if prev is not None and (not st['hist']
-                                 or st['hist'][0][0] > 1):
+        if prev is not None:
             by_epoch = {e: (e, v, s) for e, v, s in prev['hist']}
             by_epoch.update({e: (e, v, s) for e, v, s in st['hist']})
             prev['hist'] = [by_epoch[e] for e in sorted(by_epoch)]
         else:
             merged.append(st)
     return merged
+
+
+def _ap05_block(eval_lines):
+    """Pull the `bev AP` / `3d AP` rows that follow the
+    `Car AP@0.70, 0.50, 0.50:` header out of the eval extract."""
+    rows, active = [], False
+    for line in eval_lines:
+        if 'AP@0.70, 0.50' in line:
+            active = True
+            continue
+        m = re.match(r'\s*(bev|3d)\s+AP:\s*(.*)', line)
+        if active and m:
+            rows.append((f'AP_{m.group(1)}', m.group(2).strip()))
+        elif active and rows:
+            break
+    return rows
 
 
 def curve(hist, points=12):
@@ -122,10 +143,16 @@ def main():
     if final:
         out.append('## Final evaluation (synthetic val split)')
         out.append('')
-        out.append(f'- AP_3d moderate (R40): **{final["ap_3d_moderate"]}**')
-        out.append(f'- AP_bev moderate (R40): '
-                   f'**{final["ap_bev_moderate"]}**')
-        out.append(f'- MOTA: **{final["mota"]}**')
+        out.append(f'- AP_3d moderate @0.7 IoU (R40): '
+                   f'**{final["ap_3d_moderate"]:.2f}**')
+        out.append(f'- AP_bev moderate @0.7 IoU (R40): '
+                   f'**{final["ap_bev_moderate"]:.2f}**')
+        # the official 0.5-IoU sweep (printed right after the 0.7 block)
+        # is the more informative number for a lightly-trained detector
+        ap05 = _ap05_block(eval_lines)
+        for nm, vals in ap05:
+            out.append(f'- {nm} @0.5 IoU (easy/mod/hard): **{vals}**')
+        out.append(f'- MOTA: **{final["mota"]:.4f}**')
         out.append('')
     if eval_lines:
         out.append('## Eval log extract')
