@@ -50,8 +50,11 @@ class LIFusionConfig:
     # fused-pyramid formulation (round-4 A/B, tools/bench_pyramid.py):
     # 'taps' = per-level tap-major tables + four narrow gathers per level;
     # 'preconv' = stock depth-to-space pre-conv map + ONE wide gather;
+    # 'stack_mm' = 'preconv' with the deconv written row-major (one matmul
+    # per kernel row + stack — no 6-D transpose, image_backbone.py);
     # 'pallas_d2s' = 'preconv' with the depth-to-space as a Pallas sublane
-    # shuffle (ops/pallas/depth_to_space.py) instead of XLA's 6-D transpose
+    # shuffle (ops/pallas/depth_to_space.py) where Mosaic supports it
+    # (k*r lane-aligned: levels 2-3), row-major elsewhere
     PYRAMID_EVAL: str = 'taps'
 
 

@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from jmodt_tpu.ops.pallas.depth_to_space import depth_to_space_pallas
+from jmodt_tpu.ops.pallas.depth_to_space import (depth_to_space_pallas,
+                                                 supported as d2s_supported)
 
 
 class BasicBlock(nn.Module):
@@ -114,7 +115,7 @@ class NonOverlapDeconv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, flatten_taps=False):
+    def __call__(self, x, flatten_taps=False, rowmajor=False):
         """`flatten_taps=True` skips the depth-to-space transpose and
         returns the tap-major table (B, H*W*k*k, r) whose row for full-res
         pixel (y, x) is ((y//k)*W + x//k)*k*k + (y%k)*k + (x%k) — the
@@ -122,7 +123,15 @@ class NonOverlapDeconv(nn.Module):
         `flatten_taps='lowres'` returns the same table as (B, h*w, k*k*r)
         — one row per low-res pixel, taps (dy, dx, r) in the minor dim —
         the layout `ops.pallas.depth_to_space` consumes (bias included,
-        tiled over the taps)."""
+        tiled over the taps).
+        `rowmajor=True` produces the standard (B, H, W, r) output WITHOUT
+        the 6-D depth-to-space transpose: one matmul per kernel row dy
+        against the (c, k*r) weight slice lands each full-res row
+        (y//k, dy) contiguously, and the dy-stack interleave moves whole
+        w*k*r rows (the XLA transpose moves k*r-element runs — 128 B at
+        k=2 — which the round-4 on-chip probe measured ~10x slower at
+        k=8).  Same math, float-reassociation-free (each output element
+        is the identical c-contraction)."""
         k, r = self.kernel, self.features
         b, h, w, c = x.shape
         kern = self.param('kernel', nn.initializers.lecun_normal(),
@@ -132,8 +141,15 @@ class NonOverlapDeconv(nn.Module):
         # lax.conv_transpose (transpose_kernel=False) applies the kernel
         # spatially mirrored relative to the output-tap view; flip so the
         # parameters stay bit-compatible with nn.ConvTranspose
-        wmat = jnp.transpose(kern[::-1, ::-1], (2, 0, 1, 3)).reshape(
-            c, k * k * r)
+        wk = jnp.transpose(kern[::-1, ::-1], (2, 0, 1, 3))  # (c, k, k, r)
+        if rowmajor:
+            assert not flatten_taps
+            xf = x.reshape(b * h * w, c).astype(cdt)
+            rows = [(xf @ wk[:, dy].reshape(c, k * r).astype(cdt))
+                    .reshape(b, h, w * k * r) for dy in range(k)]
+            y = jnp.stack(rows, axis=2)          # (b, h, k, w*k*r)
+            return (y.reshape(b, h * k, w * k, r) + bias.astype(cdt))
+        wmat = wk.reshape(c, k * k * r)
         y = (x.reshape(b * h * w, c).astype(cdt) @ wmat.astype(cdt))
         if flatten_taps == 'lowres':
             return (y.reshape(b, h * w, k * k * r)
@@ -197,7 +213,7 @@ class ImagePyramidFusion(nn.Module):
         # fused gather path (eval: BN must use running stats — batch-stat
         # collection is defined over the full map, which this path skips)
         assert not train, 'fused pyramid gather is an eval-only path'
-        if self.eval_mode in ('preconv', 'pallas_d2s'):
+        if self.eval_mode in ('preconv', 'pallas_d2s', 'stack_mm'):
             return self._wide_gather(img_levels, xy)
         tabs = []
         for i, feat in enumerate(img_levels):
@@ -261,9 +277,13 @@ class ImagePyramidFusion(nn.Module):
             k, r = self.kernels[i], self.reduce_channels[i]
             b, h0, w0, _ = feat.shape
             dec = NonOverlapDeconv(r, k, dtype=self.dtype)
-            if use_pallas:
+            if use_pallas and d2s_supported(k, r, h0, w0):
                 taps = dec(feat, flatten_taps='lowres')
                 cols.append(depth_to_space_pallas(taps, k, r, h0, w0))
+            elif self.eval_mode in ('stack_mm', 'pallas_d2s'):
+                # rowmajor also serves as the pallas fallback (k*r < 128
+                # levels): strictly better than the 6-D transpose on chip
+                cols.append(dec(feat, rowmajor=True).reshape(b, h * w, r))
             else:
                 cols.append(dec(feat).reshape(b, h * w, r))
         flat = jnp.concatenate(cols, axis=-1)            # (B, H*W, sum r)

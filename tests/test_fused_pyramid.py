@@ -84,13 +84,14 @@ def test_backbone_eval_uses_fused_path(rng):
 
 
 def test_wide_gather_modes_match_materialized(rng):
-    """'preconv' and 'pallas_d2s' eval modes == materialize-then-sample
-    (on CPU 'pallas_d2s' takes the identical-math XLA fallback; the Pallas
-    kernel itself is pinned in interpret mode below)."""
+    """'preconv' / 'pallas_d2s' / 'stack_mm' eval modes ==
+    materialize-then-sample (on CPU 'pallas_d2s' takes the row-major
+    fallback; the Pallas kernel itself is pinned in interpret mode
+    below)."""
     mod, variables, levels, xy = _setup(rng)
     full = mod.apply(variables, levels, train=False)
     want = feature_gather(full, xy)
-    for mode in ('preconv', 'pallas_d2s'):
+    for mode in ('preconv', 'pallas_d2s', 'stack_mm'):
         m2 = ImagePyramidFusion(reduce_channels=REDUCE, kernels=KERNELS,
                                 out_channels=OUT, eval_mode=mode)
         got = m2.apply(variables, levels, train=False, xy=xy)
@@ -108,6 +109,22 @@ def test_wide_gather_param_tree_identical(rng):
     b = {jax.tree_util.keystr(k): v.shape
          for k, v in jax.tree_util.tree_leaves_with_path(v2)}
     assert a == b, set(a.items()) ^ set(b.items())
+
+
+def test_rowmajor_deconv_matches_default(rng):
+    """NonOverlapDeconv(rowmajor=True) — per-dy matmuls + stack — must
+    equal the one-matmul + 6-D transpose default exactly (each output
+    element is the identical c-contraction; only the write order
+    differs)."""
+    from jmodt_tpu.models.image_backbone import NonOverlapDeconv
+    for k, r, h0, w0 in ((2, 4, 6, 10), (4, 8, 3, 5), (8, 16, 2, 4)):
+        x = jnp.asarray(rng.randn(2, h0, w0, 12).astype(np.float32))
+        mod = NonOverlapDeconv(r, k)
+        v = mod.init(jax.random.PRNGKey(k), x)
+        want = mod.apply(v, x)
+        got = mod.apply(v, x, rowmajor=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_pallas_d2s_kernel_interpret(rng):

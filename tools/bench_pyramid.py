@@ -153,6 +153,21 @@ def deconv_stack(x, kern, bias):
     return y.reshape(b, h * k, w * k, r) + bias
 
 
+def deconv_stack_mm(x, kern, bias):
+    """Row-major deconv (the model's `rowmajor=True` / 'stack_mm' eval
+    mode): one matmul per kernel row dy — each lands its full-res rows
+    contiguously, so the dy-stack interleave moves whole w*k*r rows
+    instead of the k*r-element runs every post-matmul slice/transpose
+    variant above is stuck with."""
+    k, _, c, r = kern.shape
+    b, h, w, _ = x.shape
+    wk = wmat(kern).reshape(c, k, k * r)
+    xf = x.reshape(b * h * w, c)
+    rows = [(xf @ wk[:, dy]).reshape(b, h, w * k, r) for dy in range(k)]
+    y = jnp.stack(rows, axis=2)          # (b, h, k, w*k, r)
+    return y.reshape(b, h * k, w * k, r) + bias
+
+
 def pyramid_full(levels, params, xy, deconv):
     ups = [deconv(levels[i], params[f'w{i}'], params[f'b{i}'])
            for i in range(4)]
@@ -194,16 +209,23 @@ def pyramid_pallas_d2s(levels, params, xy, interpret=False):
     depth_to_space.py — the kernel the model's 'pallas_d2s' eval mode
     uses) + ONE wide 4-corner gather of the pre-conv concat map +
     conv/BN/ReLU on the 4N gathered rows only."""
-    from jmodt_tpu.ops.pallas.depth_to_space import depth_to_space_pallas
+    from jmodt_tpu.ops.pallas.depth_to_space import (depth_to_space_pallas,
+                                                     supported)
     ups = []
     for i in range(4):
         x, kern = levels[i], params[f'w{i}']
         k, _, c, r = kern.shape
         b, h0, w0, _ = x.shape
-        y = x.reshape(b * h0 * w0, c) @ wmat(kern)
-        fr = depth_to_space_pallas(y.reshape(1, h0 * w0, k * k * r),
-                                   k, r, h0, w0, interpret=interpret)
-        ups.append(fr + params[f'b{i}'])
+        if interpret or supported(k, r, h0, w0):
+            y = x.reshape(b * h0 * w0, c) @ wmat(kern)
+            fr = depth_to_space_pallas(y.reshape(1, h0 * w0, k * k * r),
+                                       k, r, h0, w0, interpret=interpret)
+            fr = fr + params[f'b{i}']
+        else:
+            # Mosaic gate (k*r < 128): rowmajor fallback, as in the model
+            fr = deconv_stack_mm(x, kern, params[f'b{i}']).reshape(
+                1, H * W, r)
+        ups.append(fr)
     flat = jnp.concatenate(ups, axis=-1)             # (1, H*W, 4*REDUCE)
 
     uu, vv, inu, inv, au, av = corner_data(xy, H, W)
@@ -218,11 +240,11 @@ def pyramid_pallas_d2s(levels, params, xy, interpret=False):
     return bilinear_from_corners(f, au, av)
 
 
-def pyramid_gather_preconv(levels, params, xy):
+def pyramid_gather_preconv(levels, params, xy, deconv=deconv_base):
     """Materialize the PRE-conv concat map with the stock depth-to-space,
     gather the four corners once (wide 64-ch rows), conv/BN/ReLU on the
     4N rows.  Isolates 'one wide gather + row-conv' from the d2s form."""
-    ups = [deconv_base(levels[i], params[f'w{i}'], params[f'b{i}'])
+    ups = [deconv(levels[i], params[f'w{i}'], params[f'b{i}'])
            for i in range(4)]
     flat = jnp.concatenate(ups, axis=-1).reshape(1, H * W, 4 * REDUCE)
     uu, vv, inu, inv, au, av = corner_data(xy, H, W)
@@ -270,8 +292,12 @@ def main():
                                             deconv=deconv_merged)),
         'stack': jax.jit(functools.partial(pyramid_full,
                                            deconv=deconv_stack)),
+        'stack_mm': jax.jit(functools.partial(pyramid_full,
+                                              deconv=deconv_stack_mm)),
         'fused_gather': jax.jit(pyramid_fused_gather),
         'gather_preconv': jax.jit(pyramid_gather_preconv),
+        'gather_stack_mm': jax.jit(functools.partial(
+            pyramid_gather_preconv, deconv=deconv_stack_mm)),
         'pallas_d2s': jax.jit(functools.partial(
             pyramid_pallas_d2s, interpret=not on_tpu)),
     }
