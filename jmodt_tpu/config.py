@@ -54,8 +54,12 @@ class LIFusionConfig:
     # per kernel row + stack — no 6-D transpose, image_backbone.py);
     # 'pallas_d2s' = 'preconv' with the depth-to-space as a Pallas sublane
     # shuffle (ops/pallas/depth_to_space.py) where Mosaic supports it
-    # (k*r lane-aligned: levels 2-3), row-major elsewhere
-    PYRAMID_EVAL: str = 'taps'
+    # (k*r lane-aligned: levels 2-3), row-major elsewhere.
+    # Default 'preconv': the round-4 on-chip step-level A/B measured
+    # detection_step 22.57 (taps) / 20.47 (preconv) / 21.70 (pallas_d2s) /
+    # 22.78 (stack_mm) ms — one wide 4-corner gather of the pre-conv map
+    # beats four narrow per-level gathers
+    PYRAMID_EVAL: str = 'preconv'
 
 
 @dataclass(frozen=True)
