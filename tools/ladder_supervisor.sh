@@ -22,14 +22,21 @@
 #   nothing                      -> fresh run
 set -u
 cd /root/repo
-OUT=output/ladder4
-LOG=output/ladder4.log
-SLOG=output/ladder_supervisor.log
-EPOCHS3=100
-ARGS=(--out "$OUT" --wide --seqs 8 --frames 48 --epochs1 1200
-      --epochs2 600 --epochs3 100 --lr 3e-4 --batch 4)
-SETKV=(--set RCNN.CLS_FG_THRESH 0.35 RCNN.CLS_BG_THRESH 0.25
-       RCNN.REG_FG_THRESH 0.35 REID.FG_THRESH 0.35)
+# Every knob overridable via env (LADDER_OUT=output/ladder5
+# LADDER_ARGS="--seqs 12 ..." bash tools/ladder_supervisor.sh); defaults
+# reproduce the round-4 ladder4 run.
+OUT=${LADDER_OUT:-output/ladder4}
+LOG=${LADDER_LOG:-$OUT.log}
+SLOG=${LADDER_SLOG:-output/ladder_supervisor.log}
+EPOCHS3=${LADDER_EPOCHS3:-100}
+read -r -a ARGS <<< "${LADDER_ARGS:---wide --seqs 8 --frames 48 \
+--epochs1 1200 --epochs2 600 --epochs3 100 --lr 3e-4 --batch 4}"
+ARGS=(--out "$OUT" "${ARGS[@]}")
+read -r -a SETKV <<< "${LADDER_SETKV:-RCNN.CLS_FG_THRESH 0.35 \
+RCNN.CLS_BG_THRESH 0.25 RCNN.REG_FG_THRESH 0.35 REID.FG_THRESH 0.35}"
+SETKV=(--set "${SETKV[@]}")
+# extra passthrough args placed BEFORE --set (e.g. --stage1_ckpt seed)
+read -r -a XARGS <<< "${LADDER_XARGS:-}"
 
 note() { echo "$(date -u '+%m-%d %H:%M:%S') $*" >> "$SLOG"; }
 
@@ -82,22 +89,24 @@ while true; do
   s1=$(latest_stem "$OUT/stage1/ckpt" || true)
   s2=$(latest_stem "$OUT/stage2/ckpt" || true)
   s3=$(latest_stem "$OUT/stage3/ckpt" || true)
+  # when a run is seeded past stage 1 (LADDER_XARGS="--stage1_ckpt ..."),
+  # s1 stays empty — the seed flags come from XARGS instead
   EXTRA=()
   if [ -f "$OUT/stage3/ckpt/checkpoint_epoch_${EPOCHS3}.ckpt" ]; then
     EXTRA=(--eval_ckpt "$OUT/stage3/ckpt/checkpoint_epoch_${EPOCHS3}")
   elif [ -n "${s3:-}" ]; then
-    EXTRA=(--stage1_ckpt "$s1" --stage2_ckpt "$s2" --resume3 "$s3")
+    EXTRA=(${s1:+--stage1_ckpt "$s1"} --stage2_ckpt "$s2" --resume3 "$s3")
   elif [ -n "${s2:-}" ]; then
-    EXTRA=(--stage1_ckpt "$s1" --resume2 "$s2")
+    EXTRA=(${s1:+--stage1_ckpt "$s1"} --resume2 "$s2")
   elif [ -d "$OUT/stage2" ] && [ -n "${s1:-}" ]; then
     EXTRA=(--stage1_ckpt "$s1")
   elif [ -n "${s1:-}" ]; then
     EXTRA=(--resume1 "$s1")
   fi
-  note "launching: ${EXTRA[*]:-fresh}"
+  note "launching: ${XARGS[*]:-} ${EXTRA[*]:-fresh}"
   # NOTE --set must stay LAST (argparse.REMAINDER swallows later flags)
-  python tools/synthetic_ladder.py "${ARGS[@]}" "${EXTRA[@]}" \
-      "${SETKV[@]}" >> "$LOG" 2>&1 &
+  python tools/synthetic_ladder.py "${ARGS[@]}" ${XARGS[@]:+"${XARGS[@]}"} \
+      "${EXTRA[@]}" "${SETKV[@]}" >> "$LOG" 2>&1 &
   PID=$!
   echo "$PID" > /tmp/ladder.pid
   monitor "$PID"
