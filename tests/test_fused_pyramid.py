@@ -111,6 +111,19 @@ def test_wide_gather_param_tree_identical(rng):
     assert a == b, set(a.items()) ^ set(b.items())
 
 
+def test_d2s_supported_gate():
+    """Mosaic support matrix discovered on chip (round 4): the kernel
+    lowers only when k*r is lane-aligned (128-divisible) — k=8/16 of the
+    production levels — and the blocking needs h0 % 8 == 0 or a
+    full-h0 block that fits VMEM."""
+    from jmodt_tpu.ops.pallas.depth_to_space import supported
+    # production pyramid levels (r=16)
+    assert not supported(2, 16, 192, 640)   # k*r=32: Mosaic crash
+    assert not supported(4, 16, 96, 320)    # k*r=64: Mosaic crash
+    assert supported(8, 16, 48, 160)        # k*r=128: bit-exact on chip
+    assert supported(16, 16, 24, 80)        # k*r=256: bit-exact on chip
+
+
 def test_rowmajor_deconv_matches_default(rng):
     """NonOverlapDeconv(rowmajor=True) — per-dy matmuls + stack — must
     equal the one-matmul + 6-D transpose default exactly (each output
