@@ -272,7 +272,7 @@ def main():
         fn, [pvars] + img_levels + [xy], it) * 1e3
 
     # round-4 wide-gather formulations (cfg.LI_FUSION.PYRAMID_EVAL)
-    for mode in ('preconv', 'pallas_d2s', 'stack_mm'):
+    for mode in ('taps', 'preconv', 'pallas_d2s', 'stack_mm'):
         pyr_m = ImagePyramidFusion(
             reduce_channels=li.DeConv_Reduce, kernels=li.DeConv_Kernels,
             out_channels=li.IMG_FEATURES_CHANNEL // 4, eval_mode=mode)
@@ -388,7 +388,7 @@ def main():
                                                        mode='EVAL'))
     res['detection_step_full_pyramid'] = slope_time(
         det_nofp, [variables, pts, jnp.asarray(f0['img']), xy], it) * 1e3
-    for mode in ('preconv', 'pallas_d2s', 'stack_mm'):
+    for mode in ('taps', 'preconv', 'pallas_d2s', 'stack_mm'):
         cfg_m = dataclasses.replace(
             cfg, LI_FUSION=dataclasses.replace(cfg.LI_FUSION,
                                                PYRAMID_EVAL=mode))
