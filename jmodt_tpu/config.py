@@ -46,7 +46,14 @@ class LIFusionConfig:
     # 1x1 conv + BN(running stats) + ReLU on the gathered rows.  No
     # reference counterpart — identical math to feature_gather(map, xy)
     # up to float reassociation; tests pin fused == plain.
-    FUSED_PYRAMID: bool = True
+    # Default False since round 4: once NonOverlapDeconv's slice+stack
+    # materialization landed (img_pyramid 5.0 -> 3.0 ms standalone), the
+    # plain materialize-then-sample path became the fastest end to end
+    # (same-process detection_step A/B: 20.71 ms materialized vs 21.90
+    # 'preconv' / 22.85 'taps') — the gather modes were compensating for
+    # a slow 6-D transpose that no longer exists.  PYRAMID_EVAL still
+    # selects the formulation when this is True.
+    FUSED_PYRAMID: bool = False
     # fused-pyramid formulation (round-4 A/B, tools/bench_pyramid.py):
     # 'taps' = per-level tap-major tables + four narrow gathers per level;
     # 'preconv' = stock depth-to-space pre-conv map + ONE wide gather;

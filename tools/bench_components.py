@@ -389,8 +389,12 @@ def main():
     res['detection_step_full_pyramid'] = slope_time(
         det_nofp, [variables, pts, jnp.asarray(f0['img']), xy], it) * 1e3
     for mode in ('taps', 'preconv', 'pallas_d2s', 'stack_mm'):
+        # FUSED_PYRAMID=True explicitly: the config default flipped to
+        # False in round 4 (materialize-then-sample won the A/B), so the
+        # gather-mode rows must opt back in to measure anything
         cfg_m = dataclasses.replace(
             cfg, LI_FUSION=dataclasses.replace(cfg.LI_FUSION,
+                                               FUSED_PYRAMID=True,
                                                PYRAMID_EVAL=mode))
         det_m = make_detection_step(cfg_m, PointRCNN(cfg_m, mode='EVAL'))
         res[f'detection_step_pyramid_{mode}'] = slope_time(
