@@ -131,15 +131,29 @@ def main():
         float(sync(st))  # forces the whole chain
         return time.perf_counter() - t0, packed
 
+    # Headline metrics are MEDIANS of >= 3 in-process slope samples with
+    # min/max reported alongside (VERDICT r4 weak #3: same-day single-draw
+    # artifacts disagreed 2-3.5x under relay noise; only same-process
+    # repetition makes cross-round comparisons meaningful).
+    N_REPEATS = 3
+
+    def stats(samples):
+        s = sorted(samples)
+        return {'median': round(s[len(s) // 2] * 1e3, 3),
+                'min': round(s[0] * 1e3, 3),
+                'max': round(s[-1] * 1e3, 3)}
+
     def slope(n_small, n_big, dev_inputs=None):
-        best = 1e9
-        for _ in range(2):  # best of two — relay load varies run to run
+        samples = []
+        packed = None
+        for _ in range(N_REPEATS):
             t_small, _ = timed_pass(n_small, dev_inputs)
             t_big, packed = timed_pass(n_big, dev_inputs)
-            best = min(best, (t_big - t_small) / (n_big - n_small))
-        return best, packed
+            samples.append((t_big - t_small) / (n_big - n_small))
+        return samples, packed
 
-    dt, packed_last = slope(N_FRAMES // 4, N_FRAMES)
+    dt_samples, packed_last = slope(N_FRAMES // 4, N_FRAMES)
+    dt = sorted(dt_samples)[len(dt_samples) // 2]
     outs = [packed_last]
 
     # two-slot software pipelining (VERDICT r3 next-step #4): issue frame
@@ -170,17 +184,16 @@ def main():
         return time.perf_counter() - t0, packed
 
     def slope_pipelined(put):
-        best = 1e9
-        for _ in range(2):
+        samples = []
+        for _ in range(N_REPEATS):
             t_small, _ = timed_pass_pipelined(N_FRAMES // 4, put)
             t_big, _ = timed_pass_pipelined(N_FRAMES, put)
-            best = min(best, (t_big - t_small)
-                       / (N_FRAMES - N_FRAMES // 4))
-        return best
+            samples.append((t_big - t_small) / (N_FRAMES - N_FRAMES // 4))
+        return samples
 
-    pipelined_devput_dt = slope_pipelined(
+    pipelined_devput = slope_pipelined(
         lambda *a: tuple(jax.device_put(x) for x in a))
-    pipelined_jitid_dt = slope_pipelined(jit_id)
+    pipelined_jitid = slope_pipelined(jit_id)
 
     # secondary: device-resident inputs (the deployment condition where
     # frames arrive by DMA/infeed instead of per-call RPC upload)
@@ -188,7 +201,8 @@ def main():
                         for k in ('pts_input', 'img', 'pts_xy'))
                   for f in frames]
     jax.block_until_ready(dev_frames[-1])
-    compute_dt, _ = slope(N_FRAMES // 4, N_FRAMES, dev_frames)
+    compute_samples, _ = slope(N_FRAMES // 4, N_FRAMES, dev_frames)
+    compute_dt = sorted(compute_samples)[len(compute_samples) // 2]
 
     # validate outside the timed region: tracks were actually produced
     last = np.asarray(outs[-1])
@@ -200,9 +214,11 @@ def main():
     # the config shapes, jmodt_tpu/utils/flops.py) over the DEVICE-RESIDENT
     # time — the utilization number excludes host->device upload latency
     # (ADVICE r2).  XLA cost_analysis is printed alongside as a cross-check
-    # only: it tallies logical HLO flops (masked lanes, elementwise chains,
-    # worst-case loop bodies) and overcounts the executed matmul work by
-    # ~1.4x here (VERDICT r2 "What's weak" #1).
+    # only: it UNDERCOUNTS the executed work here (BENCH_r04: 1.33e11 vs
+    # the analytic 2.45e11) because custom-call Pallas kernels (FPS, fused
+    # RCNN gather+MLP, three_nn) are invisible to it, while on the other
+    # side it tallies worst-case loop bodies and masked lanes.  Treat the
+    # analytic number as the MFU basis and both as estimates.
     from jmodt_tpu.utils.flops import detection_flops
     flops_analytic = detection_flops(cfg, track_k=16, max_tracks=64,
                                      feat_dim=feat_dim)['total']
@@ -248,8 +264,9 @@ def main():
         return time.perf_counter() - t0
 
     bpass(2)
-    bstep_dt = min((bpass(40) - bpass(10)) / 30 for _ in range(2))
-    stream_dt = bstep_dt / S  # per-frame cost across the S streams
+    stream_samples = [(bpass(40) - bpass(10)) / 30 / S
+                      for _ in range(N_REPEATS)]
+    stream_dt = sorted(stream_samples)[N_REPEATS // 2]
 
     # apples-to-apples vs the reference baseline: its 0.01 s/frame is
     # tracking ONLY (reference tools/eval.py:387-400) — time our tracker
@@ -274,7 +291,9 @@ def main():
         return time.perf_counter() - t0
 
     trk_pass(2)
-    track_dt = min((trk_pass(100) - trk_pass(25)) / 75 for _ in range(2))
+    track_samples = [(trk_pass(100) - trk_pass(25)) / 75
+                     for _ in range(N_REPEATS)]
+    track_dt = sorted(track_samples)[N_REPEATS // 2]
 
     dev = jax.devices()[0]
     kind = getattr(dev, 'device_kind', 'unknown')
@@ -297,14 +316,21 @@ def main():
                              'TRACKING-ONLY 10 ms published baseline; '
                              'like-for-like is tracking_vs_baseline'),
         'full_pipeline_streaming_ms': round(dt * 1e3, 3),
+        'streaming_ms': stats(dt_samples),
         'last_frame_track_rows': n_rows,
         'compute_ms_per_frame': round(compute_dt * 1e3, 3),
+        'compute_ms': stats(compute_samples),
         'pipelined_devput_ms_per_frame': round(
-            pipelined_devput_dt * 1e3, 3),
-        'pipelined_jitid_ms_per_frame': round(pipelined_jitid_dt * 1e3, 3),
+            sorted(pipelined_devput)[N_REPEATS // 2] * 1e3, 3),
+        'pipelined_devput_ms': stats(pipelined_devput),
+        'pipelined_jitid_ms_per_frame': round(
+            sorted(pipelined_jitid)[N_REPEATS // 2] * 1e3, 3),
+        'pipelined_jitid_ms': stats(pipelined_jitid),
         'streams4_ms_per_frame': round(stream_dt * 1e3, 3),
+        'streams4_ms': stats(stream_samples),
         'streams4_fps': round(1.0 / stream_dt, 1),
         'tracking_only_ms_per_frame': round(track_dt * 1e3, 3),
+        'tracking_only_ms': stats(track_samples),
         'tracking_vs_baseline': round(BASELINE_S_PER_FRAME / track_dt, 2),
         'device_kind': str(kind),
         'flops_analytic': flops_analytic,

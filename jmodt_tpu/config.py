@@ -51,22 +51,14 @@ class LIFusionConfig:
     # plain materialize-then-sample path became the fastest end to end
     # (same-process detection_step A/B: 20.71 ms materialized vs 21.90
     # 'preconv' / 22.85 'taps') — the gather modes were compensating for
-    # a slow 6-D transpose that no longer exists.  PYRAMID_EVAL still
-    # selects the formulation when this is True.
+    # a slow 6-D transpose that no longer exists.
     FUSED_PYRAMID: bool = False
-    # fused-pyramid formulation (round-4 A/B, tools/bench_pyramid.py):
-    # 'taps' = per-level tap-major tables + four narrow gathers per level;
-    # 'preconv' = stock depth-to-space pre-conv map + ONE wide gather;
-    # 'stack_mm' = 'preconv' with the deconv written row-major (one matmul
-    # per kernel row + stack — no 6-D transpose, image_backbone.py);
-    # 'pallas_d2s' = 'preconv' with the depth-to-space as a Pallas sublane
-    # shuffle (ops/pallas/depth_to_space.py) where Mosaic supports it
-    # (k*r lane-aligned: levels 2-3), row-major elsewhere.
-    # Default 'preconv': the round-4 on-chip step-level A/B measured
-    # detection_step 22.57 (taps) / 20.47 (preconv) / 21.70 (pallas_d2s) /
-    # 22.78 (stack_mm) ms — one wide 4-corner gather of the pre-conv map
-    # beats four narrow per-level gathers
-    PYRAMID_EVAL: str = 'preconv'
+    # When True the formulation is 'preconv' (ONE wide 4-corner gather of
+    # the materialized pre-conv map) — the round-4 on-chip A/B winner
+    # among four candidates (detection_step 22.57 'taps' / 20.47
+    # 'preconv' / 21.70 'pallas_d2s' / 22.78 'stack_mm' ms); the losing
+    # formulations were pruned round 5 and live only in
+    # tools/bench_pyramid.py as the A/B record (PARITY.md).
 
 
 @dataclass(frozen=True)
@@ -135,6 +127,14 @@ class RPNConfig:
     # CLAUDE.md round-3 analysis).  Eval-only; train takes the plain path
     # because the backbone uses BN.
     FUSED_SA: bool = True
+    # whole-level SA megakernel (ops/pallas/sa_level.py): FPS + ball
+    # query + gather + MLP + max-pool in ONE Pallas program per backbone
+    # level 1-3 (same N<=4096 shape gate as FUSED_SA, enforced by
+    # sa_level_supported).  Eval-only, TPU-only; subsumes FUSED_SA on
+    # the levels it covers.  Default OFF until the on-chip parity
+    # (tools/verify_pallas.py) and same-process A/B land — flip here
+    # with the measured numbers.
+    MEGA_SA: bool = False
 
 
 @dataclass(frozen=True)

@@ -123,6 +123,9 @@ class PointNet2MSG(nn.Module):
                 dtype=dtype,
                 use_pallas_fps=cfg.RPN.USE_PALLAS_FPS,
                 fused_eval=fused_k,
+                mega_eval=(getattr(cfg.RPN, 'MEGA_SA', False)
+                           and self.use_xyz
+                           and l_xyz[k].shape[1] <= 8192),
                 name=f'sa_{k}')(l_xyz[k], l_features[k], train, under_grad)
 
             if use_fusion:
@@ -159,9 +162,12 @@ class PointNet2MSG(nn.Module):
                 kernels=li.DeConv_Kernels,
                 out_channels=li.IMG_FEATURES_CHANNEL // 4,
                 dtype=dtype,
-                eval_mode=getattr(li, 'PYRAMID_EVAL', 'taps'),
                 name='img_pyramid')
-            if li.FUSED_PYRAMID and not train:
+            # `not under_grad`: keep the formulation choice stable under
+            # jax.grad (cfg.RPN.FIXED finetune runs this with train=False
+            # inside a differentiated apply — same hazard class as the
+            # fused-SA Pallas gate, ADVICE r4 medium)
+            if li.FUSED_PYRAMID and not train and not under_grad:
                 # eval: sample the pyramid at the points directly — the
                 # full-res fused map is never materialized (config.py
                 # LIFusionConfig.FUSED_PYRAMID)

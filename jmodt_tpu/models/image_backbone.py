@@ -9,13 +9,8 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
-
-from jmodt_tpu.ops.pallas.depth_to_space import (depth_to_space_pallas,
-                                                 supported as d2s_supported)
-
 
 class BasicBlock(nn.Module):
     """conv3x3(s=1) -> BN -> ReLU -> conv3x3(s=2), no bias (reference
@@ -109,29 +104,18 @@ class NonOverlapDeconv(nn.Module):
     (B*H*W, C) @ (C, k*k*R) followed by a reshape — an MXU matmul instead
     of the padded/dilated convolution XLA lowers conv_transpose to.
     Parameter shapes match nn.ConvTranspose ((k, k, C, R) kernel, (R,)
-    bias); equality vs nn.ConvTranspose is test-pinned."""
+    bias); equality vs nn.ConvTranspose is test-pinned.
+
+    Round-4 carried tap-major / row-major / Pallas depth-to-space
+    formulations of this op; the on-chip step-level A/B settled on this
+    materialized slice+stack form (PERF_ANALYSIS.md round-4 session 3)
+    and the alternates now live only in tools/bench_pyramid.py."""
     features: int
     kernel: int
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, flatten_taps=False, rowmajor=False):
-        """`flatten_taps=True` skips the depth-to-space transpose and
-        returns the tap-major table (B, H*W*k*k, r) whose row for full-res
-        pixel (y, x) is ((y//k)*W + x//k)*k*k + (y%k)*k + (x%k) — the
-        fused-pyramid gather path consumes it directly.
-        `flatten_taps='lowres'` returns the same table as (B, h*w, k*k*r)
-        — one row per low-res pixel, taps (dy, dx, r) in the minor dim —
-        the layout `ops.pallas.depth_to_space` consumes (bias included,
-        tiled over the taps).
-        `rowmajor=True` produces the standard (B, H, W, r) output WITHOUT
-        the 6-D depth-to-space transpose: one matmul per kernel row dy
-        against the (c, k*r) weight slice lands each full-res row
-        (y//k, dy) contiguously, and the dy-stack interleave moves whole
-        w*k*r rows (the XLA transpose moves k*r-element runs — 128 B at
-        k=2 — which the round-4 on-chip probe measured ~10x slower at
-        k=8).  Same math, float-reassociation-free (each output element
-        is the identical c-contraction)."""
+    def __call__(self, x):
         k, r = self.kernel, self.features
         b, h, w, c = x.shape
         kern = self.param('kernel', nn.initializers.lecun_normal(),
@@ -142,20 +126,8 @@ class NonOverlapDeconv(nn.Module):
         # spatially mirrored relative to the output-tap view; flip so the
         # parameters stay bit-compatible with nn.ConvTranspose
         wk = jnp.transpose(kern[::-1, ::-1], (2, 0, 1, 3))  # (c, k, k, r)
-        if rowmajor:
-            assert not flatten_taps
-            xf = x.reshape(b * h * w, c).astype(cdt)
-            rows = [(xf @ wk[:, dy].reshape(c, k * r).astype(cdt))
-                    .reshape(b, h, w * k * r) for dy in range(k)]
-            y = jnp.stack(rows, axis=2)          # (b, h, k, w*k*r)
-            return (y.reshape(b, h * k, w * k, r) + bias.astype(cdt))
         wmat = wk.reshape(c, k * k * r)
         y = (x.reshape(b * h * w, c).astype(cdt) @ wmat.astype(cdt))
-        if flatten_taps == 'lowres':
-            return (y.reshape(b, h * w, k * k * r)
-                    + jnp.tile(bias.astype(cdt), k * k))
-        if flatten_taps:
-            return (y.reshape(b, h * w * k * k, r) + bias.astype(cdt))
         # materialization: per-dy slice + stack instead of the 6-D
         # transpose — identical permutation, but XLA lowers it ~1.5x
         # faster on chip (round-4 pyramid A/B: 2.71 vs 4.02 ms for the
@@ -183,22 +155,15 @@ class ImagePyramidFusion(nn.Module):
     feature_gather(full_map, xy).  Parameter trees are identical in both
     modes (same submodules, same call order).
 
-    `eval_mode` picks the fused formulation (round-4 A/B,
-    tools/bench_pyramid.py):
-      'taps'       per-level tap-major tables, four narrow gathers per
-                   level (the original fused path)
-      'preconv'    materialize the PRE-conv concat map with the stock
-                   depth-to-space, ONE wide 4-corner gather, then
-                   conv/BN/ReLU on the 4N gathered rows only
-      'pallas_d2s' like 'preconv' but depth-to-space runs as a Pallas
-                   sublane shuffle (ops/pallas/depth_to_space.py) instead
-                   of XLA's 6-D transpose; identical-math XLA fallback
-                   off-TPU"""
+    The fused formulation is the round-4 A/B winner 'preconv' (one wide
+    4-corner gather of the materialized pre-conv map; detection_step
+    22.57 'taps' / 20.47 'preconv' / 21.70 'pallas_d2s' / 22.78
+    'stack_mm' ms on chip).  The losing formulations live only in
+    tools/bench_pyramid.py as the A/B record."""
     reduce_channels: Sequence[int]
     kernels: Sequence[int]
     out_channels: int
     dtype: Any = None
-    eval_mode: str = 'taps'
 
     @nn.compact
     def __call__(self, img_levels, train: bool = False, xy=None):
@@ -218,79 +183,23 @@ class ImagePyramidFusion(nn.Module):
         # fused gather path (eval: BN must use running stats — batch-stat
         # collection is defined over the full map, which this path skips)
         assert not train, 'fused pyramid gather is an eval-only path'
-        if self.eval_mode in ('preconv', 'pallas_d2s', 'stack_mm'):
-            return self._wide_gather(img_levels, xy)
-        tabs = []
-        for i, feat in enumerate(img_levels):
-            tabs.append(NonOverlapDeconv(
-                self.reduce_channels[i], self.kernels[i],
-                dtype=self.dtype)(feat, flatten_taps=True))
-        conv = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)
-        bn = nn.BatchNorm(use_running_average=True, momentum=0.9,
-                          epsilon=1e-5, dtype=self.dtype)
-
-        k0 = self.kernels[0]
-        _, h0, w0, _ = img_levels[0].shape
-        h, w = h0 * k0, w0 * k0      # full resolution
-        uu, vv, inu, inv, au, av = _bilinear_corners(h, w, xy)
-
-        rows = []
-        oks = []
-        for ci in range(2):
-            for cj in range(2):
-                vi, ui = vv[ci], uu[cj]
-                per = [((vi // k) * (w // k) + ui // k) * (k * k)
-                       + (vi % k) * k + (ui % k)
-                       for k in self.kernels]
-                rows.append(per)
-                oks.append(inv[ci] & inu[cj])
-
-        # one gather per level over all four corners (B, 4*N, r), then
-        # conv+BN+ReLU over the stacked corners in a single pass
-        per_level = []
-        for i, tab in enumerate(tabs):
-            idx = jnp.concatenate([r[i] for r in rows], axis=1)  # (B, 4N)
-            per_level.append(jnp.take_along_axis(
-                tab, idx[..., None], axis=1))
-        g = jnp.concatenate(per_level, axis=-1)          # (B, 4N, sum r)
-        b_, n4, cc = g.shape
-        x = conv(g.reshape(b_, n4, 1, cc))
-        x = nn.relu(bn(x))[:, :, 0, :]                   # (B, 4N, out)
-        n = xy.shape[1]
-        f = x.reshape(b_, 4, n, self.out_channels)
-        ok = jnp.stack(oks, axis=1)[..., None].astype(f.dtype)
-        f = f * ok
-        au = au.astype(f.dtype)
-        av = av.astype(f.dtype)
-        top = f[:, 0] * (1 - au) + f[:, 1] * au
-        bot = f[:, 2] * (1 - au) + f[:, 3] * au
-        return top * (1 - av) + bot * av
+        return self._wide_gather(img_levels, xy)
 
     def _wide_gather(self, img_levels, xy):
-        """'preconv' / 'pallas_d2s' eval modes: materialize the PRE-conv
-        concat map (R-channel levels only — never the post-conv full-res
-        map), gather the four bilinear corners ONCE as wide rows, then
+        """'preconv' fused eval: materialize the PRE-conv concat map
+        (R-channel levels only — never the post-conv full-res map),
+        gather the four bilinear corners ONCE as wide rows, then
         conv/BN/ReLU on the 4N gathered rows.  Submodule creation order
-        matches the other paths exactly (deconvs, conv, bn)."""
+        matches the materialized path exactly (deconvs, conv, bn)."""
         k0 = self.kernels[0]
         _, h00, w00, _ = img_levels[0].shape
         h, w = h00 * k0, w00 * k0
-        use_pallas = (self.eval_mode == 'pallas_d2s'
-                      and jax.default_backend() == 'tpu')
         cols = []
         for i, feat in enumerate(img_levels):
             k, r = self.kernels[i], self.reduce_channels[i]
             b, h0, w0, _ = feat.shape
             dec = NonOverlapDeconv(r, k, dtype=self.dtype)
-            if use_pallas and d2s_supported(k, r, h0, w0):
-                taps = dec(feat, flatten_taps='lowres')
-                cols.append(depth_to_space_pallas(taps, k, r, h0, w0))
-            elif self.eval_mode in ('stack_mm', 'pallas_d2s'):
-                # rowmajor also serves as the pallas fallback (k*r < 128
-                # levels): strictly better than the 6-D transpose on chip
-                cols.append(dec(feat, rowmajor=True).reshape(b, h * w, r))
-            else:
-                cols.append(dec(feat).reshape(b, h * w, r))
+            cols.append(dec(feat).reshape(b, h * w, r))
         flat = jnp.concatenate(cols, axis=-1)            # (B, H*W, sum r)
         conv = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)
         bn = nn.BatchNorm(use_running_average=True, momentum=0.9,

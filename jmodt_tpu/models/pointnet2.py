@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -40,11 +41,37 @@ class SAModuleMSG(nn.Module):
     dtype: Any = None
     use_pallas_fps: bool = False
     fused_eval: bool = False
+    mega_eval: bool = False
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False,
                  under_grad: bool = False):
         assert len(self.radii) == len(self.nsamples) == len(self.mlps)
+
+        # Whole-level Pallas megakernel (ops/pallas/sa_level.py): FPS +
+        # ball query + gather + MLP + max in ONE program.  Eval-only
+        # (folded BN running stats), never under AD (no JVP — same
+        # hazard class as the fused-SA gate below), TPU-only, and only
+        # where the shape gate passes (backbone levels 1-3).  Selection
+        # is index-exact vs the plain path; MLP values differ by float
+        # reassociation only (test-pinned).
+        if (self.mega_eval and not self.is_initializing()
+                and not train and not under_grad
+                and self.npoint is not None and self.use_xyz
+                and jax.default_backend() == 'tpu'):
+            from jmodt_tpu.ops.pallas.sa_level import (sa_level_fused,
+                                                       sa_level_supported)
+            fc = 0 if features is None else features.shape[-1]
+            if sa_level_supported(xyz.shape[1], self.npoint, fc):
+                folded = [
+                    fold_pointwise_mlp(
+                        self.variables['params'][f'mlp_{i}'],
+                        self.variables['batch_stats'][f'mlp_{i}']
+                        if self.use_bn else None)
+                    for i in range(len(self.radii))]
+                return sa_level_fused(xyz, features, self.npoint,
+                                      tuple(self.radii),
+                                      tuple(self.nsamples), folded)
         # geometry (FPS, ball query) always runs on f32 coordinates; only the
         # grouped-feature MLP compute drops to self.dtype
         if self.npoint is not None:

@@ -83,34 +83,6 @@ def test_backbone_eval_uses_fused_path(rng):
                                    rtol=2e-4, atol=2e-4, err_msg=k)
 
 
-def test_wide_gather_modes_match_materialized(rng):
-    """'preconv' / 'pallas_d2s' / 'stack_mm' eval modes ==
-    materialize-then-sample (on CPU 'pallas_d2s' takes the row-major
-    fallback; the Pallas kernel itself is pinned in interpret mode
-    below)."""
-    mod, variables, levels, xy = _setup(rng)
-    full = mod.apply(variables, levels, train=False)
-    want = feature_gather(full, xy)
-    for mode in ('preconv', 'pallas_d2s', 'stack_mm'):
-        m2 = ImagePyramidFusion(reduce_channels=REDUCE, kernels=KERNELS,
-                                out_channels=OUT, eval_mode=mode)
-        got = m2.apply(variables, levels, train=False, xy=xy)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-5, atol=1e-5, err_msg=mode)
-
-
-def test_wide_gather_param_tree_identical(rng):
-    mod, variables, levels, xy = _setup(rng)
-    m2 = ImagePyramidFusion(reduce_channels=REDUCE, kernels=KERNELS,
-                            out_channels=OUT, eval_mode='preconv')
-    v2 = m2.init(jax.random.PRNGKey(0), levels, train=False, xy=xy)
-    a = {jax.tree_util.keystr(k): v.shape
-         for k, v in jax.tree_util.tree_leaves_with_path(variables)}
-    b = {jax.tree_util.keystr(k): v.shape
-         for k, v in jax.tree_util.tree_leaves_with_path(v2)}
-    assert a == b, set(a.items()) ^ set(b.items())
-
-
 def test_d2s_supported_gate():
     """Mosaic support matrix discovered on chip (round 4): the kernel
     lowers only when k*r is lane-aligned (128-divisible) — k=8/16 of the
@@ -122,22 +94,6 @@ def test_d2s_supported_gate():
     assert not supported(4, 16, 96, 320)    # k*r=64: Mosaic crash
     assert supported(8, 16, 48, 160)        # k*r=128: bit-exact on chip
     assert supported(16, 16, 24, 80)        # k*r=256: bit-exact on chip
-
-
-def test_rowmajor_deconv_matches_default(rng):
-    """NonOverlapDeconv(rowmajor=True) — per-dy matmuls + stack — must
-    equal the one-matmul + 6-D transpose default exactly (each output
-    element is the identical c-contraction; only the write order
-    differs)."""
-    from jmodt_tpu.models.image_backbone import NonOverlapDeconv
-    for k, r, h0, w0 in ((2, 4, 6, 10), (4, 8, 3, 5), (8, 16, 2, 4)):
-        x = jnp.asarray(rng.randn(2, h0, w0, 12).astype(np.float32))
-        mod = NonOverlapDeconv(r, k)
-        v = mod.init(jax.random.PRNGKey(k), x)
-        want = mod.apply(v, x)
-        got = mod.apply(v, x, rowmajor=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-6, atol=1e-6)
 
 
 def test_pallas_d2s_kernel_interpret(rng):
@@ -158,19 +114,3 @@ def test_pallas_d2s_kernel_interpret(rng):
                                           np.asarray(want))
 
 
-def test_lowres_taps_layout(rng):
-    """NonOverlapDeconv flatten_taps='lowres' + depth_to_space ==
-    the module's own materialized output."""
-    from jmodt_tpu.models.image_backbone import NonOverlapDeconv
-    from jmodt_tpu.ops.pallas.depth_to_space import depth_to_space_xla
-    k, r, h0, w0, c = 4, 5, 6, 10, 7
-    x = jnp.asarray(rng.randn(2, h0, w0, c).astype(np.float32))
-    mod = NonOverlapDeconv(r, k)
-    v = mod.init(jax.random.PRNGKey(1), x)
-    v = jax.tree_util.tree_map(
-        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32)), v)
-    want = mod.apply(v, x).reshape(2, h0 * k * w0 * k, r)
-    taps = mod.apply(v, x, flatten_taps='lowres')
-    got = depth_to_space_xla(taps, k, r, h0, w0)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-6, atol=1e-6)

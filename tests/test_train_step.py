@@ -192,6 +192,46 @@ def test_finetune_fused_sa_never_picks_pallas(small_cfg, batch, monkeypatch):
         f'fused_sa_eval called with use_pallas={set(seen)} under grad'
 
 
+def test_finetune_fused_pyramid_stays_materialized(small_cfg, batch,
+                                                   monkeypatch):
+    """Same hazard class as the fused-SA gate (ADVICE r4 medium): with
+    cfg.RPN.FIXED the backbone runs train=False inside jax.grad; the
+    FUSED_PYRAMID gate must also test under_grad so the formulation
+    choice stays stable under AD (and any future non-differentiable
+    fused-path optimization stays safe)."""
+    import jmodt_tpu.models.image_backbone as ib
+    from jmodt_tpu.models import PointRCNN
+    from jmodt_tpu.train import create_train_state, make_train_step
+
+    called = []
+    real = ib.ImagePyramidFusion._wide_gather
+
+    def spy(self, img_levels, xy):
+        called.append(True)
+        return real(self, img_levels, xy)
+
+    monkeypatch.setattr(ib.ImagePyramidFusion, '_wide_gather', spy)
+
+    cfg = dataclasses.replace(
+        small_cfg,
+        TRAIN=dataclasses.replace(small_cfg.TRAIN, FINETUNE=True),
+        RPN=dataclasses.replace(small_cfg.RPN, FIXED=True),
+        LI_FUSION=dataclasses.replace(small_cfg.LI_FUSION,
+                                      FUSED_PYRAMID=True))
+    model = PointRCNN(cfg, mode='TRAIN')
+    variables = jax.jit(lambda k: model.init(
+        k, batch['pts_input'], batch['img'], batch['pts_xy'],
+        gt_boxes3d=batch['gt_boxes3d'], gt_tids=batch['gt_tids'],
+        sample_key=jax.random.PRNGKey(1), train=True))(jax.random.PRNGKey(0))
+    state, tx = create_train_state(cfg, variables, steps_per_epoch=10)
+    step = make_train_step(cfg, model, tx)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, tb = step(state, jbatch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(tb['loss']))
+    assert not called, \
+        'fused pyramid gather ran inside a differentiated finetune apply'
+
+
 def test_dryrun_multichip_8():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)

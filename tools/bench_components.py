@@ -271,16 +271,6 @@ def main():
     res['img_pyramid_fused_gather'] = slope_time(
         fn, [pvars] + img_levels + [xy], it) * 1e3
 
-    # round-4 wide-gather formulations (cfg.LI_FUSION.PYRAMID_EVAL)
-    for mode in ('taps', 'preconv', 'pallas_d2s', 'stack_mm'):
-        pyr_m = ImagePyramidFusion(
-            reduce_channels=li.DeConv_Reduce, kernels=li.DeConv_Kernels,
-            out_channels=li.IMG_FEATURES_CHANNEL // 4, eval_mode=mode)
-        fn = jax.jit(lambda v, a, b, c, d, x, p=pyr_m: p.apply(
-            v, [a, b, c, d], train=False, xy=x))
-        res[f'img_pyramid_{mode}'] = slope_time(
-            fn, [pvars] + img_levels + [xy], it) * 1e3
-
     full_img = jax.random.normal(
         key, (1, 384, 1280, li.IMG_FEATURES_CHANNEL // 4))
     fn = jax.jit(lambda im, x: feature_gather(im, x))
@@ -388,17 +378,14 @@ def main():
                                                        mode='EVAL'))
     res['detection_step_full_pyramid'] = slope_time(
         det_nofp, [variables, pts, jnp.asarray(f0['img']), xy], it) * 1e3
-    for mode in ('taps', 'preconv', 'pallas_d2s', 'stack_mm'):
-        # FUSED_PYRAMID=True explicitly: the config default flipped to
-        # False in round 4 (materialize-then-sample won the A/B), so the
-        # gather-mode rows must opt back in to measure anything
-        cfg_m = dataclasses.replace(
-            cfg, LI_FUSION=dataclasses.replace(cfg.LI_FUSION,
-                                               FUSED_PYRAMID=True,
-                                               PYRAMID_EVAL=mode))
-        det_m = make_detection_step(cfg_m, PointRCNN(cfg_m, mode='EVAL'))
-        res[f'detection_step_pyramid_{mode}'] = slope_time(
-            det_m, [variables, pts, jnp.asarray(f0['img']), xy], it) * 1e3
+    # FUSED_PYRAMID=True ('preconv' wide gather — the surviving alternate;
+    # the pruned round-4 formulations live in tools/bench_pyramid.py)
+    cfg_fp = dataclasses.replace(
+        cfg, LI_FUSION=dataclasses.replace(cfg.LI_FUSION,
+                                           FUSED_PYRAMID=True))
+    det_fp = make_detection_step(cfg_fp, PointRCNN(cfg_fp, mode='EVAL'))
+    res['detection_step_pyramid_preconv'] = slope_time(
+        det_fp, [variables, pts, jnp.asarray(f0['img']), xy], it) * 1e3
 
     # ---- batched detection step (4 frames per program: the lockstep
     # multi-stream / offline-eval condition; near-1x cost means the

@@ -36,20 +36,30 @@ def parse(log_paths):
     final_json = None
     eval_lines = []
     for line in _iter_lines(log_paths):
-        m = re.search(r'finetune=(\S+) epochs=(\d+)', line)
+        m = re.search(r'finetune=(\S+)(?: fusion=(\S+))? epochs=(\d+)',
+                      line)
         if m:
+            # fusion= (round 5) splits stage 1 from stage 2 even when
+            # epochs1 == epochs2; None on pre-round-5 logs
             cur = {'finetune': m.group(1) == 'True',
-                   'epochs': int(m.group(2)), 'hist': []}
+                   'fusion': (None if m.group(2) is None
+                              else m.group(2) == 'True'),
+                   'epochs': int(m.group(3)), 'hist': []}
             stages.append(cur)
             continue
         m = re.search(r'epoch (\d+): train_loss=([\d.naif-]+) '
                       r'\(([\d.]+)s', line)
         if m and cur is not None:
             # exact 0.0 is the trainer's "no loss sampled yet" placeholder
-            # (epochs shorter than log_every carry last_logged, which is
-            # 0.0 at every process launch) — real epoch losses are > 0
-            if float(m.group(2)) > 0.0:
-                cur['hist'].append((int(m.group(1)), float(m.group(2)),
+            # ONLY on the first line(s) after a process launch (epochs
+            # shorter than log_every carry last_logged, which starts at
+            # 0.0) — every relaunch re-prints the stage header, so the
+            # placeholder condition is "no real loss seen this segment".
+            # A later 0.0 is a genuinely converged epoch (single-batch
+            # overfit runs do reach ~0, CLAUDE.md) and must be kept.
+            v = float(m.group(2))
+            if v > 0.0 or cur['hist']:
+                cur['hist'].append((int(m.group(1)), v,
                                     float(m.group(3))))
             continue
         if re.search(r'(AP[@:]|Car AP|recall|MOTA|MOTP|eval|mostly|'
@@ -66,17 +76,18 @@ def parse(log_paths):
 
 def _merge_resumes(stages):
     """Fold supervisor-relaunch segments into their original stage: every
-    segment with the same (finetune, epochs) header is the same ladder
-    stage (the supervisor relaunches with identical stage parameters) —
-    including weights-only restarts that begin again at epoch 1 and
-    crash segments that logged nothing.  On duplicate epoch numbers the
-    later segment's line wins (the last run through that epoch is the one
-    whose weights survive)."""
+    segment with the same (finetune, fusion, epochs) header is the same
+    ladder stage (the supervisor relaunches with identical stage
+    parameters) — including weights-only restarts that begin again at
+    epoch 1 and crash segments that logged nothing.  On duplicate epoch
+    numbers the later segment's line wins (the last run through that
+    epoch is the one whose weights survive)."""
     merged = []
     for st in stages:
         prev = next((m for m in reversed(merged)
-                     if (m['finetune'], m['epochs'])
-                     == (st['finetune'], st['epochs'])), None)
+                     if (m['finetune'], m['fusion'], m['epochs'])
+                     == (st['finetune'], st['fusion'], st['epochs'])),
+                    None)
         if prev is not None:
             by_epoch = {e: (e, v, s) for e, v, s in prev['hist']}
             by_epoch.update({e: (e, v, s) for e, v, s in st['hist']})

@@ -95,7 +95,10 @@ while true; do
   if [ -f "$OUT/stage3/ckpt/checkpoint_epoch_${EPOCHS3}.ckpt" ]; then
     EXTRA=(--eval_ckpt "$OUT/stage3/ckpt/checkpoint_epoch_${EPOCHS3}")
   elif [ -n "${s3:-}" ]; then
-    EXTRA=(${s1:+--stage1_ckpt "$s1"} --stage2_ckpt "$s2" --resume3 "$s3")
+    # s2 guarded like s1: a run seeded past stage 2 via LADDER_XARGS has
+    # no $OUT/stage2 checkpoints; an empty --stage2_ckpt would silently
+    # retrain stage 2 from scratch while --resume3 resumes the old gen
+    EXTRA=(${s1:+--stage1_ckpt "$s1"} ${s2:+--stage2_ckpt "$s2"} --resume3 "$s3")
   elif [ -n "${s2:-}" ]; then
     EXTRA=(${s1:+--stage1_ckpt "$s1"} --resume2 "$s2")
   elif [ -d "$OUT/stage2" ] && [ -n "${s1:-}" ]; then

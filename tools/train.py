@@ -142,7 +142,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, TRAIN=dataclasses.replace(cfg.TRAIN, EPOCHS=args.epochs))
     logger.info('devices: %s', jax.devices())
-    logger.info('finetune=%s epochs=%d', args.finetune, cfg.TRAIN.EPOCHS)
+    # fusion= disambiguates stage 1 (lidar-only) from stage 2 in
+    # ladder_report when epochs1 == epochs2 (both log finetune=False)
+    logger.info('finetune=%s fusion=%s epochs=%d', args.finetune,
+                cfg.LI_FUSION.ENABLED, cfg.TRAIN.EPOCHS)
 
     img_hw = (64, 128) if args.small else (384, 1280)
     if args.data_root:
