@@ -178,6 +178,28 @@ def main():
                 x, f, c, n, fl))
             res[f'sa{k}_fused_gather_mlp'] = slope_time(
                 fn, [cloud, feats, cent, nbr, folded], it) * 1e3
+
+            # whole-level megakernel (ops/pallas/sa_level.py): FPS +
+            # ball query + gather + MLP + max in one Pallas program —
+            # A/B against the fused-eval module path above
+            mega_mod = SAModuleMSG(
+                npoint=sa_cfg.NPOINTS[k], radii=sa_cfg.RADIUS[k],
+                nsamples=sa_cfg.NSAMPLE[k], mlps=mlps,
+                use_bn=cfg.RPN.USE_BN,
+                use_pallas_fps=cfg.RPN.USE_PALLAS_FPS, mega_eval=True)
+            fn = jax.jit(lambda vv, c, f, m=mega_mod: m.apply(vv, c, f,
+                                                              False))
+            res[f'sa_level{k}_mega'] = slope_time(fn, [v, cloud, feats],
+                                                  it) * 1e3
+            fused_mod = SAModuleMSG(
+                npoint=sa_cfg.NPOINTS[k], radii=sa_cfg.RADIUS[k],
+                nsamples=sa_cfg.NSAMPLE[k], mlps=mlps,
+                use_bn=cfg.RPN.USE_BN,
+                use_pallas_fps=cfg.RPN.USE_PALLAS_FPS, fused_eval=True)
+            fn = jax.jit(lambda vv, c, f, m=fused_mod: m.apply(vv, c, f,
+                                                               False))
+            res[f'sa_level{k}_fusedsa'] = slope_time(fn, [v, cloud, feats],
+                                                     it) * 1e3
         c_in = sum(m[-1] for m in mlps)
 
     # ---- FP level 0 (coarse 4096 -> fine 16384, the big one) ----
@@ -386,6 +408,14 @@ def main():
     det_fp = make_detection_step(cfg_fp, PointRCNN(cfg_fp, mode='EVAL'))
     res['detection_step_pyramid_preconv'] = slope_time(
         det_fp, [variables, pts, jnp.asarray(f0['img']), xy], it) * 1e3
+
+    # SA megakernel A/B at the step level (cfg.RPN.MEGA_SA)
+    cfg_mega = dataclasses.replace(
+        cfg, RPN=dataclasses.replace(cfg.RPN, MEGA_SA=True))
+    det_mega = make_detection_step(cfg_mega, PointRCNN(cfg_mega,
+                                                       mode='EVAL'))
+    res['detection_step_mega_sa'] = slope_time(
+        det_mega, [variables, pts, jnp.asarray(f0['img']), xy], it) * 1e3
 
     # ---- batched detection step (4 frames per program: the lockstep
     # multi-stream / offline-eval condition; near-1x cost means the

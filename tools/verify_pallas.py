@@ -243,8 +243,50 @@ def main():
                 f'k={k}: {np.abs(got - want).max()} max diff'
         assert checked, 'no supported d2s level shape — gate broken?'
 
+    # ---- whole-SA-level megakernel at all 3 production levels ----------
+    def sa_level_mega():
+        from jmodt_tpu.ops.pallas.sa_level import (sa_level_fused,
+                                                   sa_level_fused_xla)
+        shapes = [
+            ('sa1', 4096, 1024, 96, (0.5, 1.0), (16, 32),
+             ((64, 64, 128), (64, 96, 128))),
+            ('sa2', 1024, 256, 256, (1.0, 2.0), (16, 32),
+             ((128, 196, 256), (128, 196, 256))),
+            ('sa3', 256, 64, 512, (2.0, 4.0), (16, 32),
+             ((256, 256, 512), (256, 384, 512))),
+        ]
+        for name, n, m, c, radii, nsamples, mlps in shapes:
+            xyz = jnp.asarray(rng.randn(1, n, 3).astype(np.float32) * 3)
+            feats = jnp.asarray(rng.randn(1, n, c).astype(np.float32))
+            folded = []
+            for mlp in mlps:
+                layers, cin = [], c + 3
+                for cout in mlp:
+                    layers.append((jnp.asarray(
+                        rng.randn(cin, cout).astype(np.float32) * 0.2),
+                        jnp.asarray(
+                            rng.randn(cout).astype(np.float32) * 0.1)))
+                    cin = cout
+                folded.append(tuple(layers))
+            got = jax.jit(lambda a, f, fo: sa_level_fused(
+                a, f, m, radii, nsamples, fo,
+                interpret=interpret))(xyz, feats, folded)
+            want = jax.jit(lambda a, f, fo: sa_level_fused_xla(
+                a, f, m, radii, nsamples, fo))(xyz, feats, folded)
+            np.testing.assert_array_equal(np.asarray(got[2]),
+                                          np.asarray(want[2]), err_msg=name)
+            np.testing.assert_array_equal(np.asarray(got[0]),
+                                          np.asarray(want[0]), err_msg=name)
+            scale = float(np.abs(np.asarray(want[1])).max())
+            err = float(np.abs(np.asarray(got[1])
+                               - np.asarray(want[1])).max()) / scale
+            # same error class as the bf16 hi/lo gather + default-
+            # precision MLP dots (CLAUDE.md: twin-noise is ~1e-2 class)
+            assert err < 2e-2, f'{name}: rel err vs scale {err}'
+
     check('ball_query_2048x128_oracle', ball_query_oracle)
     check('depth_to_space_all_levels', depth_to_space)
+    check('sa_level_mega_all_levels', sa_level_mega)
     check('fps_single_4096_1024', fps_single)
     check('fps_batched_100x512_128', fps_batched)
     check('fps_batched_tilecap_8x16384_64', fps_batched_tilecap)
