@@ -60,12 +60,19 @@ print(float(jax.jit(lambda a: (a@a).sum())(jnp.ones((128,128)))))
 done_yet() { grep -q '"mota"' "$LOG" 2>/dev/null; }
 
 monitor() {  # watch client $1; returns when it is gone (wedges killed)
-  local pid=$1 age
+  local pid=$1 age limit
   sleep 30
   while kill -0 "$pid" 2>/dev/null; do
     sleep 60
     age=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || echo 0) ))
-    if [ "$age" -gt 420 ]; then
+    # while epochs are ticking (last line is an epoch line) silence
+    # means a wedge; anywhere else — stage start, stage transition,
+    # final eval — the silence is a first compile via the remote
+    # compile service (10-20 min fresh at wide configs; round 5 saw
+    # the flat 7-min watchdog kill a HEALTHY fresh run mid-compile)
+    if tail -n 1 "$LOG" 2>/dev/null | grep -q "epoch "; then limit=420
+    else limit=1800; fi
+    if [ "$age" -gt "$limit" ]; then
       note "wedge: log silent ${age}s; killing $pid"
       kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
       sleep 10
