@@ -51,7 +51,10 @@ latest_stem() {  # highest-EPOCH checkpoint stem in dir $1, empty if none
 }
 
 relay_ok() {
-  timeout 90 python -c "
+  # 300 s: a fresh relay boot compiles even a 128x128 matmul in ~290 s
+  # (round 5, post-reboot); the old 90 s probe declared a COLD-but-alive
+  # relay down forever
+  timeout "${LADDER_PROBE_S:-300}" python -c "
 import jax, jax.numpy as jnp
 print(float(jax.jit(lambda a: (a@a).sum())(jnp.ones((128,128)))))
 " >/dev/null 2>&1
@@ -70,8 +73,9 @@ monitor() {  # watch client $1; returns when it is gone (wedges killed)
     # final eval — the silence is a first compile via the remote
     # compile service (10-20 min fresh at wide configs; round 5 saw
     # the flat 7-min watchdog kill a HEALTHY fresh run mid-compile)
-    if tail -n 1 "$LOG" 2>/dev/null | grep -q "epoch "; then limit=420
-    else limit=1800; fi
+    if tail -n 1 "$LOG" 2>/dev/null | grep -q "epoch "
+    then limit=${LADDER_WEDGE_EPOCH_S:-420}
+    else limit=${LADDER_WEDGE_COMPILE_S:-1800}; fi
     if [ "$age" -gt "$limit" ]; then
       note "wedge: log silent ${age}s; killing $pid"
       kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
