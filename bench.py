@@ -34,11 +34,13 @@ BASELINE_S_PER_FRAME = 0.01  # reference README.md:21-26 (tracking only)
 N_FRAMES = 100
 
 
-def _hang_watchdog(seconds=int(os.environ.get('BENCH_WATCHDOG_S', 1200))):
+def _hang_watchdog(seconds=int(os.environ.get('BENCH_WATCHDOG_S', 2400))):
     """The TPU relay tunnel can die silently; jax.devices() then blocks
     forever and the bench emits nothing.  Print a diagnostic JSON line and
     hard-exit if the run exceeds `seconds` (first full compile is
-    ~80-120 s, the whole bench normally finishes in well under 10 min)."""
+    ~80-120 s; after a box reboot the relay additionally charges ~5-10 min
+    of per-process CONNECTION setup — measured 290-611 s round 5 — so the
+    bound must cover connect + compile + 3 median samples)."""
     import threading
 
     def fire():
