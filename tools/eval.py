@@ -209,7 +209,8 @@ def _track_sequences_batched(args, cfg, logger, seq_list, seq2sample,
     from jmodt_tpu.utils.kitti_io import save_kitti_tracking_format
     from jmodt_tpu.utils.object3d import Object3d
 
-    feat_dim = cfg.RCNN.SA_CONFIG.MLPS[-1][-1]
+    feat_dim = (_persisted_feat_dim(args.det_output)
+                or cfg.RCNN.SA_CONFIG.MLPS[-1][-1])
 
     # preload every sequence's detections (host IO outside the timed loop)
     seq_frames = []  # per seq: list of (frame_id, boxes, scores, feats, objs)
@@ -329,36 +330,118 @@ def _seqmap_from_gt(gt_path: str) -> dict:
     return seqmap
 
 
+def load_head_params(ckpt_path):
+    """Read ONLY the link/se head weights from a checkpoint (no model
+    build/init — reference keeps them under params/rcnn/{link,se}_layer)."""
+    from jmodt_tpu.train.checkpoint import read_checkpoint_state
+    state = read_checkpoint_state(ckpt_path)
+    rcnn = state['model_state']['params']['rcnn']
+    return ({'params': rcnn['link_layer']}, {'params': rcnn['se_layer']})
+
+
+def infer_head_arch(head_params):
+    """Derive (hidden_widths, use_bn) from a head's own param tree, so
+    stage 2 never depends on reconstructing the training-time config (the
+    ladder's --wide patch lives only inside synthetic_ladder.py).  HeadMLP
+    names hidden layers PointwiseLayer_<i> and the final projection
+    Dense_0; BN presence shows up as BatchNorm_* keys."""
+    import itertools
+    mlp = head_params['params']['mlp']
+    hidden = []
+    use_bn = False
+    for i in itertools.count():
+        layer = mlp.get(f'PointwiseLayer_{i}')
+        if layer is None:
+            break
+        hidden.append(int(layer['Dense_0']['kernel'].shape[1]))
+        use_bn = use_bn or any('BatchNorm' in k for k in layer)
+    return tuple(hidden), use_bn
+
+
+def load_tracking_heads(cfg, ckpt, logger, test=False):
+    """Link/se correlation heads for stage 2.
+
+    Stage 2 replays whatever stage 1 persisted, so with a checkpoint the
+    checkpoint is authoritative: read the head subtrees raw and derive
+    their architecture from the stored shapes (a cfg-built model would
+    silently keep its random init whenever the shapes mismatch, e.g. a
+    --wide ladder tree evaluated under --small).  Without a checkpoint
+    (smoke mode) fall back to cfg-built random heads, as the reference's
+    no-ckpt path does."""
+    if ckpt:
+        link_params, se_params = load_head_params(ckpt)
+        link_fc, link_bn = infer_head_arch(link_params)
+        se_fc, se_bn = infer_head_arch(se_params)
+        link_head = CorrelationHead(link_fc, use_bn=link_bn)
+        se_head = CorrelationHead(se_fc, use_bn=se_bn)
+        return link_head, se_head, link_params, se_params
+    logger.info('WARNING: no --ckpt given, using random head weights')
+    from jmodt_tpu.data.synthetic import make_eval_frame
+    example = make_eval_frame(seed=0, cfg=cfg, npoints=cfg.RPN.NUM_POINTS)
+    _, variables = build_model_and_ckpt(
+        cfg, 'TEST' if test else 'EVAL', None, example, logger)
+    rcnn_params = variables['params']['rcnn']
+    link_head = CorrelationHead(cfg.REID.LINK_FC, use_bn=cfg.REID.USE_BN)
+    se_head = CorrelationHead(cfg.REID.SE_FC, use_bn=cfg.REID.USE_BN)
+    return (link_head, se_head, {'params': rcnn_params['link_layer']},
+            {'params': rcnn_params['se_layer']})
+
+
+def _persisted_feat_dim(det_output):
+    """ReID feature width of the persisted stage-1 features.  Stage 2
+    replays whatever stage 1 wrote, so the tracker state must be sized
+    from the data, not from cfg (which may not match the checkpoint that
+    produced the detections, e.g. synthetic_ladder --wide trees)."""
+    feat_dir = os.path.join(det_output, 'feat')
+    if os.path.isdir(feat_dir):
+        for p in sorted(os.listdir(feat_dir)):
+            if p.endswith('.npy'):
+                arr = np.load(os.path.join(feat_dir, p), mmap_mode='r')
+                if arr.ndim == 2 and arr.shape[0] > 0:
+                    return int(arr.shape[1])
+    return None
+
+
+MOT_PARAM_DEFAULTS = {
+    # reference tools/eval.py:300-319
+    't_miss': 2, 't_hit': 0, 'w_cls': 100.0, 'w_app': 2.0, 'w_iou': 10.0,
+    'w_dis': 10.0, 'w_se': 1.0, 'cls_thresh': 0.85, 'match_thresh': 0.0,
+}
+
+
+def mot_params_from_args(args):
+    """MOT hyper-parameters with reference defaults for absent attrs."""
+    return {k: getattr(args, k, None) if getattr(args, k, None) is not None
+            else d for k, d in MOT_PARAM_DEFAULTS.items()}
+
+
 def eval_tracking(args, cfg, logger):
     """Stage 2 (reference eval_tracking, tools/eval.py:294-417)."""
     part = 'test' if args.test else 'val'
     tracking_res_dir = os.path.join(args.output_dir, args.tag, part)
     os.makedirs(tracking_res_dir, exist_ok=True)
 
-    # MOT hyper-parameters (reference tools/eval.py:300-319)
-    t_miss, t_hit = 2, 0
-    w_cls, w_app, w_iou, w_dis, w_se = 100, 2, 10, 10, 1
-    cls_thresh = 0.85
-    score_thresh = match_thresh = 0.0
+    # MOT hyper-parameters (reference tools/eval.py:300-319).  Defaults
+    # are the reference's; each is overridable from the CLI (getattr so
+    # programmatic SimpleNamespace callers like synthetic_ladder.py that
+    # predate the flags keep reference behavior), swept offline by
+    # tools/mot_sweep.py over persisted stage-1 detections.
+    p = mot_params_from_args(args)
+    t_miss, t_hit = p['t_miss'], p['t_hit']
+    w_cls, w_app, w_iou, w_dis, w_se = (p['w_cls'], p['w_app'], p['w_iou'],
+                                        p['w_dis'], p['w_se'])
+    cls_thresh = p['cls_thresh']
+    score_thresh, match_thresh = 0.0, p['match_thresh']
     logger.info('********** Start evaluate tracking **********')
     logger.info('t_miss=%d t_hit=%d w_cls=%d w_app=%d w_iou=%d w_dis=%d '
                 'w_se=%d', t_miss, t_hit, w_cls, w_app, w_iou, w_dis, w_se)
 
-    # only the link/se heads are needed (reference tools/eval.py:326-340)
-    from jmodt_tpu.data.synthetic import make_eval_frame
-    example = make_eval_frame(seed=0, cfg=cfg,
-                              npoints=cfg.RPN.NUM_POINTS)
-    model, variables = build_model_and_ckpt(
-        cfg, 'TEST' if args.test else 'EVAL', args.ckpt, example, logger)
-    rcnn_params = variables['params']['rcnn']
-    link_head = CorrelationHead(cfg.REID.LINK_FC, use_bn=cfg.REID.USE_BN)
-    se_head = CorrelationHead(cfg.REID.SE_FC, use_bn=cfg.REID.USE_BN)
-
-    # apply fns take (params, x): the trackers thread the head weights as
-    # runtime arguments so no device call closure-captures them (CLAUDE.md
-    # program-poison rule #2)
-    link_params = {'params': rcnn_params['link_layer']}
-    se_params = {'params': rcnn_params['se_layer']}
+    # only the link/se heads are needed (reference tools/eval.py:326-340);
+    # the apply fns take (params, x): the trackers thread the head weights
+    # as runtime arguments so no device call closure-captures them
+    # (CLAUDE.md program-poison rule #2)
+    link_head, se_head, link_params, se_params = load_tracking_heads(
+        cfg, args.ckpt, logger, test=args.test)
 
     if args.device_tracker:
         # fully on-device fast path; association defaults to the
@@ -366,7 +449,8 @@ def eval_tracking(args, cfg, logger):
         # --hungarian like the host path — see
         # jmodt_tpu/tracking/device_tracker.py
         from jmodt_tpu.tracking.device_tracker import DeviceTracker
-        feat_dim = cfg.RCNN.SA_CONFIG.MLPS[-1][-1]
+        feat_dim = (_persisted_feat_dim(args.det_output)
+                    or cfg.RCNN.SA_CONFIG.MLPS[-1][-1])
         if args.hungarian:
             car_tracker = DeviceTracker(
                 link_head.apply, link_params, feat_dim=feat_dim,
@@ -505,6 +589,10 @@ def main():
                              'warning)')
     parser.add_argument('--max_tracks', type=int, default=64,
                         help='device-tracker track-slot capacity')
+    for k, d in MOT_PARAM_DEFAULTS.items():
+        parser.add_argument(f'--{k}', type=type(d), default=None,
+                            help=f'MOT hyper-parameter (reference '
+                                 f'default {d})')
     parser.add_argument('--only_tracking', action='store_true')
     parser.add_argument('--test', action='store_true')
     parser.add_argument('--synthetic_frames', type=int, default=8)
