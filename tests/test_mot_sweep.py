@@ -113,3 +113,37 @@ def test_sweep_end_to_end(fake_kitti, tmp_path):  # noqa: F811
     assert res['best']['mota'] == best['mota']
     # base params recorded for reproducibility
     assert res['base'] == mod.MOT_PARAM_DEFAULTS
+
+def test_load_tracking_heads_uses_checkpoint_arch(tmp_path):
+    """A checkpoint whose head widths differ from cfg (e.g. a --wide
+    ladder tree evaluated under --small) must yield the CHECKPOINT's
+    architecture and weights — the old cfg-built path silently kept its
+    random init on shape mismatch, scoring stage 2 with untrained heads."""
+    import jax
+    import __graft_entry__
+    from jmodt_tpu.models.rcnn import CorrelationHead
+    from jmodt_tpu.train.checkpoint import save_checkpoint
+
+    cfg = __graft_entry__._small_config()
+    odd_fc = (48, 24)                       # matches no config anywhere
+    assert odd_fc != tuple(cfg.REID.LINK_FC)
+    x = np.zeros((1, 96), np.float32)
+    link = CorrelationHead(odd_fc).init(jax.random.PRNGKey(0), x)['params']
+    se = CorrelationHead(odd_fc).init(jax.random.PRNGKey(1), x)['params']
+    ckpt = save_checkpoint(
+        {'epoch': 0, 'it': 0, 'optimizer_state': None,
+         'model_state': {'params': {'rcnn': {'link_layer': link,
+                                             'se_layer': se}}}},
+        str(tmp_path / 'heads'))
+
+    mod = load_eval_cli()
+    link_head, se_head, link_params, se_params = mod.load_tracking_heads(
+        cfg, ckpt, logger)
+    assert tuple(link_head.hidden) == odd_fc
+    assert tuple(se_head.hidden) == odd_fc
+    np.testing.assert_array_equal(
+        link_params['params']['mlp']['PointwiseLayer_0']['Dense_0']['kernel'],
+        link['mlp']['PointwiseLayer_0']['Dense_0']['kernel'])
+    # and the heads actually apply at the checkpoint's feature width
+    out = link_head.apply(link_params, np.zeros((3, 96), np.float32))
+    assert out.shape == (3, 1)
